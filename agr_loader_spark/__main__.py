@@ -1,0 +1,89 @@
+"""CLI entry point: generate and/or replay a change log into a lake table.
+
+Deployment surface per BASELINE.json: ``spark-submit --py-files
+agr_loader_spark.zip -m`` style execution. Locally::
+
+    spark-submit --master local[8] replay.py --workdir /tmp/run \
+        --events 100000 --docs 10000
+    # or equivalently
+    python -m agr_loader_spark --workdir /tmp/run --events 100000
+
+Re-running the same command is a no-op (exactly-once manifest);
+``--stop-after N`` injects a crash after N commits to demo resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="agr_loader_spark")
+    p.add_argument("--workdir", required=True, help="directory for binlog + table")
+    p.add_argument("--events", type=int, default=100_000)
+    p.add_argument("--docs", type=int, default=10_000)
+    p.add_argument("--epoch-size", type=int, default=10_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--salt-buckets", type=int, default=16)
+    p.add_argument("--stop-after", type=int, default=None,
+                   help="crash-inject: stop after N segment commits")
+    p.add_argument("--no-schema-changes", action="store_true")
+    args = p.parse_args(argv)
+
+    from .generator import generate_binlog
+    from .lake.table import LakeTable
+    from .schema import TOKENS_MERGE_KEY, TOKENS_TABLE_COLUMNS
+    from .session import get_spark
+    from .streaming.runner import ReplayRunner
+
+    spark = get_spark("agr-loader-spark-replay", cores=args.cores)
+    binlog = os.path.join(args.workdir, "binlog")
+    table_root = os.path.join(args.workdir, "tokens_table")
+
+    if not os.path.exists(binlog):
+        print(f"generating binlog: {args.events} events / {args.docs} docs -> {binlog}",
+              file=sys.stderr)
+        generate_binlog(
+            spark, n_events=args.events, n_docs=args.docs, epoch_size=args.epoch_size,
+            seed=args.seed, with_schema_changes=not args.no_schema_changes,
+        ).write.partitionBy("epoch").parquet(binlog)
+
+    table = LakeTable.create(
+        spark, table_root, TOKENS_TABLE_COLUMNS, key=TOKENS_MERGE_KEY,
+        n_buckets=args.n_buckets, if_not_exists=True,
+    )
+    runner = ReplayRunner(spark, table, source_path=binlog,
+                          salt_buckets=args.salt_buckets)
+    t0 = time.monotonic()
+    metrics = runner.run(stop_after=args.stop_after)
+    wall = time.monotonic() - t0
+
+    applied = [m for m in metrics if not m.get("skipped")]
+    skipped = len(metrics) - len(applied)
+    n_events = sum(m.get("n_events", 0) for m in applied)
+    final = LakeTable.load(spark, table_root)
+    state = final.read()
+    summary = {
+        "segments_applied": len(applied),
+        "segments_skipped": skipped,
+        "events_processed": n_events,
+        "wall_seconds": round(wall, 2),
+        "events_per_sec": round(n_events / wall, 1) if wall > 0 else None,
+        "final_rows": state.count(),
+        "final_columns": [c.name for c in final.columns()],
+        "snapshot_id": final.snapshot_id,
+        "schema_version": final._m["schema_version"],
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,398 @@
+"""LakeTable — Iceberg-semantics keyed table on hash-bucketed parquet.
+
+The sandbox has no Iceberg runtime jars, so the engine keeps the sink
+behind this thin table abstraction (SURVEY.md §7.0): snapshot manifests +
+copy-on-write ``merge`` give the same externally observable semantics as
+``MERGE INTO ... ON t.key = s.key`` against an Iceberg table partitioned
+by ``bucket(N, key)``. On a cluster with Iceberg available, ``merge``
+maps 1:1 onto Iceberg's MERGE and the manifest collapses into snapshot
+summary properties.
+
+Reference semantics re-expressed here (SURVEY.md §2.2):
+- node-label uniqueness constraints (src/etl/helpers/neo4j_helper.py:59-126)
+  -> declared merge key; every commit preserves key uniqueness;
+- `MERGE ... ON CREATE SET` / `SET` / `DETACH DELETE`
+  (src/etl/bgi_etl.py:99-115, src/etl/allele_etl.py:142-144,
+  src/etl/disease_etl.py:238-248) -> a single upsert/delete changeset per
+  micro-batch, routed by an ``__op`` column;
+- `LOAD CSV ... IN TRANSACTIONS of 10000 ROWS` batched commits
+  (src/etl/bgi_etl.py:91-117) -> one atomic snapshot per micro-batch;
+- the unbounded requeue-retry sink (src/transactors/neo4j_transactor.py:108-118)
+  -> exactly-once: each commit carries an ``epoch_key``; re-applying an
+  already-committed epoch is a metadata no-op (idempotent commit
+  manifest, BASELINE.json north_rule);
+- pre-created constraints/indexes (src/aggregate_loader.py:254-256) ->
+  the bucket spec declared at table create time.
+
+Scale design (the part that must hold at 10^10 events / 100 TB):
+- state is bucketed by ``pmod(xxhash64(key), n_buckets)``; a micro-batch
+  rewrites ONLY the buckets its keys hash into (copy-on-write at bucket
+  granularity), so merge cost is O(touched state) not O(total state);
+- the anti-join that drops overwritten rows joins per-bucket data that is
+  already co-partitioned by the same hash function — on a real cluster
+  with Iceberg bucket transforms this is a storage-partitioned join with
+  no shuffle of the big side; here Spark shuffles both sides but each
+  bucket's data is bounded (state_size / n_buckets);
+- schema evolution is metadata-only (field-id mapping, no data rewrite),
+  exactly like Iceberg: old files are read through a projection that
+  renames/casts/nulls by field id.
+
+Single-writer per table is assumed (the runner is a sequential epoch
+loop; the reference's analog is its hard group barriers,
+src/aggregate_loader.py:188-219).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import ddl_to_type
+
+OP_COL = "__op"
+BUCKET_COL = "__bucket"
+
+
+@dataclass
+class ColumnSpec:
+    id: int
+    name: str
+    type: str  # spark DDL string
+    src_field: str | None = None  # event payload field feeding this column
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type, "src_field": self.src_field}
+
+    @staticmethod
+    def from_json(d: dict) -> "ColumnSpec":
+        return ColumnSpec(d["id"], d["name"], d["type"], d.get("src_field"))
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str, manifest: dict):
+        self.spark = spark
+        self.root = root
+        self._m = manifest
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        columns: Sequence[tuple[str, str, str | None]],
+        key: str,
+        n_buckets: int = 32,
+        if_not_exists: bool = False,
+    ) -> "LakeTable":
+        """columns: (name, ddl_type, src_field). Analog of the up-front
+        constraint/index DDL (src/etl/helpers/neo4j_helper.py:54-196):
+        declare the merge key + bucket layout before any load."""
+        if os.path.exists(os.path.join(root, "_current")):
+            if if_not_exists:
+                return cls.load(spark, root)
+            raise FileExistsError(root)
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        specs = [ColumnSpec(i + 1, n, t, s) for i, (n, t, s) in enumerate(columns)]
+        names = [c.name for c in specs]
+        if key not in names:
+            raise ValueError(f"merge key {key!r} not among columns {names}")
+        manifest = {
+            "snapshot_id": 0,
+            "parent": None,
+            "epoch_key": None,
+            "operation": "create",
+            "key": key,
+            "n_buckets": n_buckets,
+            "next_field_id": len(specs) + 1,
+            "schema_version": 0,
+            "schema_versions": {"0": [c.to_json() for c in specs]},
+            "buckets": {},
+            "applied_epochs": [],
+            "lineage": [],
+        }
+        t = cls(spark, root, manifest)
+        t._commit(manifest)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        with open(os.path.join(root, "_current")) as f:
+            sid = int(f.read().strip())
+        with open(os.path.join(root, "snapshots", f"{sid}.json")) as f:
+            return cls(spark, root, json.load(f))
+
+    # ------------------------------------------------------------- metadata
+    @property
+    def key(self) -> str:
+        return self._m["key"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self._m["n_buckets"]
+
+    @property
+    def snapshot_id(self) -> int:
+        return self._m["snapshot_id"]
+
+    def columns(self, version: int | None = None) -> list[ColumnSpec]:
+        v = self._m["schema_version"] if version is None else version
+        return [ColumnSpec.from_json(d) for d in self._m["schema_versions"][str(v)]]
+
+    def spark_schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [T.StructField(c.name, ddl_to_type(c.type)) for c in self.columns()]
+        )
+
+    def applied_epochs(self) -> set[str]:
+        return set(self._m["applied_epochs"])
+
+    def lineage(self) -> list[dict]:
+        return list(self._m["lineage"])
+
+    # ----------------------------------------------------------------- read
+    def _bucket_expr(self, key_col):
+        return F.pmod(F.xxhash64(key_col), F.lit(self.n_buckets)).cast("int")
+
+    def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
+        """Current state under the current schema. Old-schema files are
+        projected by field id (rename/widen/null-fill) — metadata-only
+        evolution, no rewrite (Iceberg-style)."""
+        cur = self.columns()
+        sel_buckets = self._m["buckets"]
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            sel_buckets = {b: fs for b, fs in sel_buckets.items() if b in want}
+        by_version: dict[int, list[str]] = {}
+        for files in sel_buckets.values():
+            for fe in files:
+                by_version.setdefault(fe["schema_version"], []).append(
+                    os.path.join(self.root, fe["path"])
+                )
+        frames = []
+        for v, paths in by_version.items():
+            old = {c.id: c for c in self.columns(v)}
+            raw = self.spark.read.parquet(*paths)
+            proj = []
+            for c in cur:
+                o = old.get(c.id)
+                if o is None:
+                    proj.append(F.lit(None).cast(c.type).alias(c.name))
+                else:
+                    proj.append(F.col(o.name).cast(c.type).alias(c.name))
+            frames.append(raw.select(*proj))
+        if not frames:
+            return self.spark.createDataFrame([], self.spark_schema())
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out
+
+    # ---------------------------------------------------------------- merge
+    def merge(
+        self,
+        changes: DataFrame,
+        epoch_key: str,
+        lineage: dict | None = None,
+    ) -> dict:
+        """Apply one micro-batch changeset atomically, exactly once.
+
+        ``changes`` must have one row per key (the LWW reduce guarantees
+        this — Iceberg likewise rejects duplicate source keys in MERGE)
+        with columns = current table columns + ``__op`` in {'U','D'}.
+        'U' upserts the row (insert-or-overwrite = MERGE WHEN MATCHED
+        UPDATE SET * / WHEN NOT MATCHED INSERT *); 'D' deletes the key.
+
+        Only buckets containing changed keys are rewritten; all other
+        buckets carry forward by manifest reference.
+        """
+        if epoch_key in self.applied_epochs():
+            return {"skipped": True, "epoch_key": epoch_key, "snapshot_id": self.snapshot_id}
+
+        cur = self.columns()
+        names = [c.name for c in cur]
+        changes = changes.select(
+            *[F.col(c.name).cast(c.type).alias(c.name) for c in cur], F.col(OP_COL)
+        )
+        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(F.col(self.key)))
+        changes = changes.persist()
+        try:
+            stats = changes.groupBy().agg(
+                F.sum(F.when(F.col(OP_COL) == "U", 1).otherwise(0)).alias("n_upserts"),
+                F.sum(F.when(F.col(OP_COL) == "D", 1).otherwise(0)).alias("n_deletes"),
+                F.collect_set(BUCKET_COL).alias("buckets"),
+            ).collect()[0]
+            touched = sorted(stats["buckets"] or [])
+            if not touched:
+                return self._commit_noop(epoch_key, lineage)
+
+            existing = self.read(buckets=touched)
+            survivors = existing.join(
+                changes.select(F.col(self.key)), on=self.key, how="left_anti"
+            )
+            upserts = changes.filter(F.col(OP_COL) == "U").select(*names)
+            new_state = survivors.unionByName(upserts).withColumn(
+                BUCKET_COL, self._bucket_expr(F.col(self.key))
+            )
+
+            new_sid = self.snapshot_id + 1
+            stage_rel = os.path.join("data", str(new_sid))
+            stage = os.path.join(self.root, stage_rel)
+            # one write task per touched bucket: bounded files, co-located keys
+            new_state.repartition(max(len(touched), 1), F.col(BUCKET_COL)).write.partitionBy(
+                BUCKET_COL
+            ).mode("overwrite").parquet(stage)
+
+            sv = self._m["schema_version"]
+            new_buckets = dict(self._m["buckets"])
+            for b in touched:
+                bdir = os.path.join(stage, f"{BUCKET_COL}={b}")
+                files = []
+                if os.path.isdir(bdir):
+                    files = [
+                        {
+                            "path": os.path.join(stage_rel, f"{BUCKET_COL}={b}", fn),
+                            "schema_version": sv,
+                        }
+                        for fn in sorted(os.listdir(bdir))
+                        if fn.endswith(".parquet")
+                    ]
+                new_buckets[str(b)] = files
+
+            lin = dict(lineage or {})
+            lin.update(
+                {
+                    "epoch_key": epoch_key,
+                    "snapshot_id": new_sid,
+                    "n_upserts": int(stats["n_upserts"] or 0),
+                    "n_deletes": int(stats["n_deletes"] or 0),
+                    "buckets_touched": [int(b) for b in touched],
+                }
+            )
+            m = self._child_manifest(new_sid, "merge", epoch_key)
+            m["buckets"] = new_buckets
+            m["lineage"].append(lin)
+            self._commit(m)
+            self._m = m
+            return {"skipped": False, **lin}
+        finally:
+            changes.unpersist()
+
+    def _commit_noop(self, epoch_key: str, lineage: dict | None) -> dict:
+        new_sid = self.snapshot_id + 1
+        lin = dict(lineage or {})
+        lin.update({"epoch_key": epoch_key, "snapshot_id": new_sid,
+                    "n_upserts": 0, "n_deletes": 0, "buckets_touched": []})
+        m = self._child_manifest(new_sid, "merge-noop", epoch_key)
+        m["lineage"].append(lin)
+        self._commit(m)
+        self._m = m
+        return {"skipped": False, **lin}
+
+    # ------------------------------------------------------ schema evolution
+    def _evolve(self, epoch_key: str | None, mutate) -> dict:
+        """Metadata-only schema commit (Iceberg ALTER TABLE analog,
+        SURVEY.md §2.7/§4.4). Idempotent under epoch_key for resume."""
+        if epoch_key is not None and epoch_key in self.applied_epochs():
+            return {"skipped": True, "epoch_key": epoch_key, "snapshot_id": self.snapshot_id}
+        new_sid = self.snapshot_id + 1
+        m = self._child_manifest(new_sid, "evolve", epoch_key)
+        cols = [ColumnSpec.from_json(d) for d in m["schema_versions"][str(m["schema_version"])]]
+        cols = mutate(m, cols)
+        new_v = m["schema_version"] + 1
+        m["schema_version"] = new_v
+        m["schema_versions"][str(new_v)] = [c.to_json() for c in cols]
+        if epoch_key is not None:
+            m["lineage"].append({"epoch_key": epoch_key, "snapshot_id": new_sid,
+                                 "operation": "evolve"})
+        self._commit(m)
+        self._m = m
+        return {"skipped": False, "epoch_key": epoch_key, "snapshot_id": new_sid}
+
+    def add_column(self, name: str, ddl_type: str, src_field: str | None = None,
+                   epoch_key: str | None = None) -> dict:
+        def mut(m, cols):
+            if any(c.name == name for c in cols):
+                raise ValueError(f"column {name!r} exists")
+            fid = m["next_field_id"]
+            m["next_field_id"] = fid + 1
+            return cols + [ColumnSpec(fid, name, ddl_type, src_field)]
+
+        return self._evolve(epoch_key, mut)
+
+    def rename_column(self, old: str, new: str, epoch_key: str | None = None) -> dict:
+        def mut(m, cols):
+            hit = [c for c in cols if c.name == old]
+            if not hit:
+                raise ValueError(f"no column {old!r}")
+            return [ColumnSpec(c.id, new if c.name == old else c.name, c.type, c.src_field)
+                    for c in cols]
+
+        return self._evolve(epoch_key, mut)
+
+    def widen_column(self, name: str, new_type: str, epoch_key: str | None = None) -> dict:
+        _WIDEN_OK = {("int", "bigint"), ("int", "long"), ("float", "double"),
+                     ("array<int>", "array<bigint>"), ("smallint", "int"),
+                     ("smallint", "bigint")}
+
+        def mut(m, cols):
+            hit = [c for c in cols if c.name == name]
+            if not hit:
+                raise ValueError(f"no column {name!r}")
+            old_t = hit[0].type
+            if (old_t, new_type) not in _WIDEN_OK:
+                raise ValueError(f"not a widening: {old_t} -> {new_type}")
+            return [ColumnSpec(c.id, c.name, new_type if c.name == name else c.type, c.src_field)
+                    for c in cols]
+
+        return self._evolve(epoch_key, mut)
+
+    # -------------------------------------------------------------- internals
+    def _child_manifest(self, new_sid: int, operation: str, epoch_key: str | None) -> dict:
+        m = json.loads(json.dumps(self._m))  # deep copy
+        m["parent"] = self._m["snapshot_id"]
+        m["snapshot_id"] = new_sid
+        m["operation"] = operation
+        m["epoch_key"] = epoch_key
+        if epoch_key is not None:
+            m["applied_epochs"] = m["applied_epochs"] + [epoch_key]
+        return m
+
+    def _commit(self, manifest: dict) -> None:
+        """Write snapshot manifest, then atomically flip the _current
+        pointer (os.replace). A crash before the flip leaves orphan data
+        files that no manifest references — same failure model as
+        Iceberg; a crash after the flip is a completed commit and the
+        epoch_key makes any retry a no-op."""
+        sid = manifest["snapshot_id"]
+        _atomic_write(os.path.join(self.root, "snapshots", f"{sid}.json"),
+                      json.dumps(manifest, indent=1, default=str))
+        _atomic_write(os.path.join(self.root, "_current"), str(sid))
+
+    def history(self) -> list[dict]:
+        out = []
+        sid = self.snapshot_id
+        while sid is not None:
+            with open(os.path.join(self.root, "snapshots", f"{sid}.json")) as f:
+                m = json.load(f)
+            out.append({"snapshot_id": m["snapshot_id"], "operation": m["operation"],
+                        "epoch_key": m["epoch_key"], "schema_version": m["schema_version"]})
+            sid = m["parent"]
+        return list(reversed(out))

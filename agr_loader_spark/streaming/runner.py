@@ -1,0 +1,170 @@
+"""ReplayRunner — ordered micro-batch replay of the change log.
+
+The Spark-first re-expression of the reference's whole orchestration
+stack (SURVEY.md §3.1): ordered ``etl_groups`` with hard barriers
+(src/aggregate_loader.py:122-219), 10k-row generator/commit batches
+(src/data_manager/data_type_config.py:20-21), the queued retry sink
+(src/transactors/neo4j_transactor.py:27-125), and the CSV staging hop
+(src/transactors/csv_transactor.py:14-57) — all collapsed into a
+sequential epoch loop where each micro-batch is
+
+    read epoch -> dedup (doc_id, event_lsn) -> LWW reduce (salted
+    two-phase) -> plan changeset -> MERGE commit (exactly-once)
+
+and job boundaries are the barriers. Epochs containing schema-change
+events are split at each S event's lsn so evolution applies at exactly
+its log position (a doc whose last pre-add update precedes the `add`
+must NOT get the added column backfilled).
+
+Exactly-once/resume: every segment commit carries epoch_key
+``"{epoch}:{segment}"`` recorded in the table manifest; re-running any
+prefix (crash, retry, full restart) is a metadata no-op. This is the
+hardened version of the reference's unbounded requeue retry, which can
+double-apply (tolerated there only because MERGE is idempotent;
+SURVEY.md K10). The checkpoint IS the manifest: per-micro-batch lineage
+rows map source offset ranges (min/max lsn) -> snapshot id.
+
+Metrics per micro-batch (SURVEY.md A5, the analog of the reference's
+resolved/unresolved counters, src/etl/molecular_interaction_etl.py:648-676)
+are appended to ``<table_root>/_metrics.jsonl`` and returned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.table import LakeTable
+from ..operators.dedup import dedup_redelivery, lww_reduce, lww_reduce_pandas
+from ..plans.merge import plan_changeset
+
+
+class ReplayRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        source_path: str | None = None,
+        source_df: DataFrame | None = None,
+        salt_buckets: int = 16,
+        use_pandas_lww: bool = False,
+    ):
+        if (source_path is None) == (source_df is None):
+            raise ValueError("exactly one of source_path / source_df")
+        self.spark = spark
+        self.table = table
+        self.source_path = source_path
+        self.source_df = source_df
+        self.salt_buckets = salt_buckets
+        self.use_pandas_lww = use_pandas_lww
+
+    # ------------------------------------------------------------------ source
+    def _events(self) -> DataFrame:
+        if self.source_df is not None:
+            return self.source_df
+        # epoch-partitioned parquet: the epoch filter below prunes to one
+        # partition directory (no full-log scan per micro-batch).
+        return self.spark.read.parquet(self.source_path)
+
+    def list_epochs(self) -> list[int]:
+        return [
+            r["epoch"]
+            for r in self._events().select("epoch").distinct().orderBy("epoch").collect()
+        ]
+
+    # ------------------------------------------------------------------ replay
+    def run(self, epochs: list[int] | None = None, stop_after: int | None = None) -> list[dict]:
+        """Replay epochs in order; skip already-committed segments.
+        ``stop_after`` = crash-injection point for resume tests (number of
+        segment commits to perform before stopping)."""
+        all_metrics: list[dict] = []
+        committed = 0
+        for epoch in epochs if epochs is not None else self.list_epochs():
+            for m in self._run_epoch(epoch):
+                all_metrics.append(m)
+                if not m.get("skipped"):
+                    committed += 1
+                if stop_after is not None and committed >= stop_after:
+                    return all_metrics
+        return all_metrics
+
+    def _run_epoch(self, epoch: int):
+        ev = self._events().filter(F.col("epoch") == epoch)
+        # schema events are rare singletons (3 per run in F2) — safe collect
+        schema_events = sorted(
+            ev.filter(F.col("op") == "S").select("event_lsn", "schema_change").collect(),
+            key=lambda r: r["event_lsn"],
+        )
+        bounds = [r["event_lsn"] for r in schema_events]
+        data = ev.filter(F.col("op") != "S")
+
+        seg = 0
+        lo = None
+        for i, b in enumerate(bounds + [None]):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("event_lsn") > lo)
+            if b is not None:
+                cond = cond & (F.col("event_lsn") < b)
+            yield self._apply_data_segment(epoch, seg, data.filter(cond))
+            seg += 1
+            if b is not None:
+                yield self._apply_schema_event(epoch, seg, schema_events[i])
+                seg += 1
+                lo = b
+
+    def _apply_data_segment(self, epoch: int, seg: int, events: DataFrame) -> dict:
+        epoch_key = f"{epoch}:{seg}"
+        t0 = time.monotonic()
+        if epoch_key in self.table.applied_epochs():
+            return {"epoch_key": epoch_key, "skipped": True}
+        stats = events.groupBy().agg(
+            F.count("*").alias("n_events"),
+            F.min("event_lsn").alias("min_lsn"),
+            F.max("event_lsn").alias("max_lsn"),
+            F.count_distinct("doc_id", "event_lsn").alias("n_unique"),
+        ).collect()[0]
+        n_events = int(stats["n_events"] or 0)
+        deduped = dedup_redelivery(events)
+        reducer = lww_reduce_pandas if self.use_pandas_lww else lww_reduce
+        latest = reducer(deduped, key="doc_id", order_col="event_lsn",
+                         salt_buckets=self.salt_buckets)
+        changes = plan_changeset(latest, self.table)
+        lineage = {
+            "min_lsn": int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
+            "max_lsn": int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
+            "n_events": n_events,
+            "n_duplicates_dropped": n_events - int(stats["n_unique"] or 0),
+        }
+        result = self.table.merge(changes, epoch_key=epoch_key, lineage=lineage)
+        result["seconds"] = round(time.monotonic() - t0, 4)
+        self._emit(result)
+        return result
+
+    def _apply_schema_event(self, epoch: int, seg: int, row) -> dict:
+        epoch_key = f"{epoch}:{seg}"
+        sc = row["schema_change"]
+        kind = sc["kind"]
+        if kind == "add":
+            r = self.table.add_column(sc["column"], sc["new_type"],
+                                      src_field=sc["src_field"], epoch_key=epoch_key)
+        elif kind == "rename":
+            r = self.table.rename_column(sc["column"], sc["new_name"], epoch_key=epoch_key)
+        elif kind == "widen":
+            r = self.table.widen_column(sc["column"], sc["new_type"], epoch_key=epoch_key)
+        else:
+            raise ValueError(f"unknown schema change kind {kind!r}")
+        r = dict(r)
+        r.update({"operation": f"evolve:{kind}", "at_lsn": int(row["event_lsn"])})
+        if not r.get("skipped"):
+            self._emit(r)
+        return r
+
+    def _emit(self, metrics: dict) -> None:
+        path = os.path.join(self.table.root, "_metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(metrics, default=str) + "\n")

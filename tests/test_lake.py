@@ -1,0 +1,97 @@
+"""LakeTable unit tests: merge semantics, exactly-once, evolution, COW."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from agr_loader_spark.lake.table import OP_COL, LakeTable
+
+COLS = [("doc_id", "string", "doc_id"), ("tokens", "array<int>", "tokens"),
+        ("n_tok", "int", "n_tok"), ("source", "string", "source")]
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, __op string"
+    )
+
+
+def _mk(spark, tmproot, n_buckets=8):
+    return LakeTable.create(spark, tmproot + "/t", COLS, key="doc_id", n_buckets=n_buckets)
+
+
+def test_merge_upsert_delete_roundtrip(spark, tmproot):
+    t = _mk(spark, tmproot)
+    t.merge(_changes(spark, [("a", [1, 2], 2, "FB", "U"), ("b", [3], 1, "WB", "U")]), "0:0")
+    t.merge(_changes(spark, [("a", [9], 1, "FB", "U"), ("b", None, None, None, "D"),
+                             ("c", [7, 7], 2, "MGI", "U")]), "1:0")
+    rows = {r["doc_id"]: r.asDict() for r in t.read().collect()}
+    assert set(rows) == {"a", "c"}
+    assert rows["a"]["tokens"] == [9] and rows["a"]["n_tok"] == 1
+    assert rows["c"]["tokens"] == [7, 7]
+
+
+def test_exactly_once_skip(spark, tmproot):
+    t = _mk(spark, tmproot)
+    r1 = t.merge(_changes(spark, [("a", [1], 1, "FB", "U")]), "0:0")
+    assert not r1["skipped"]
+    r2 = t.merge(_changes(spark, [("a", [999], 1, "FB", "U")]), "0:0")
+    assert r2["skipped"]
+    assert [r["tokens"] for r in t.read().collect()] == [[1]]
+    # reload from disk sees the same applied epoch set
+    t2 = LakeTable.load(spark, t.root)
+    assert "0:0" in t2.applied_epochs()
+
+
+def test_copy_on_write_touches_only_changed_buckets(spark, tmproot):
+    t = _mk(spark, tmproot, n_buckets=8)
+    many = [(f"d{i}", [i], 1, "FB", "U") for i in range(100)]
+    t.merge(_changes(spark, many), "0:0")
+    before = dict(t._m["buckets"])
+    r = t.merge(_changes(spark, [("d1", [42], 1, "FB", "U")]), "1:0")
+    assert len(r["buckets_touched"]) == 1
+    after = t._m["buckets"]
+    unchanged = [b for b in after if int(b) not in r["buckets_touched"]]
+    assert unchanged and all(after[b] == before[b] for b in unchanged)
+    assert t.read().count() == 100
+
+
+def test_schema_evolution_metadata_only(spark, tmproot):
+    t = _mk(spark, tmproot)
+    t.merge(_changes(spark, [("a", [1], 1, "FB", "U")]), "0:0")
+    files_before = sorted(f["path"] for fs in t._m["buckets"].values() for f in fs)
+    t.add_column("lang", "string", src_field="lang", epoch_key="1:0")
+    t.rename_column("source", "origin", epoch_key="1:1")
+    t.widen_column("n_tok", "bigint", epoch_key="1:2")
+    files_after = sorted(f["path"] for fs in t._m["buckets"].values() for f in fs)
+    assert files_before == files_after  # no data rewrite
+    df = t.read()
+    assert df.columns == ["doc_id", "tokens", "n_tok", "origin", "lang"]
+    assert dict(df.dtypes)["n_tok"] == "bigint"
+    row = df.collect()[0]
+    assert row["origin"] == "FB" and row["lang"] is None and row["n_tok"] == 1
+    # evolution commits are idempotent under epoch_key too
+    assert t.add_column("x", "int", epoch_key="1:0")["skipped"]
+
+
+def test_widen_rejects_narrowing(spark, tmproot):
+    t = _mk(spark, tmproot)
+    with pytest.raises(ValueError):
+        t.widen_column("doc_id", "int")
+
+
+def test_merge_after_rename_routes_by_src_field(spark, tmproot):
+    t = _mk(spark, tmproot)
+    t.merge(_changes(spark, [("a", [1], 1, "FB", "U")]), "0:0")
+    t.rename_column("source", "origin", epoch_key="0:1")
+    ch = _changes(spark, [("b", [2], 1, "WB", "U")]).withColumnRenamed("source", "origin")
+    t.merge(ch, "1:0")
+    got = {r["doc_id"]: r["origin"] for r in t.read().collect()}
+    assert got == {"a": "FB", "b": "WB"}
+
+
+def test_key_uniqueness_invariant(spark, tmproot):
+    t = _mk(spark, tmproot)
+    for e in range(3):
+        t.merge(_changes(spark, [(f"d{i % 5}", [e], 1, "FB", "U") for i in range(5)]), f"{e}:0")
+    dup = t.read().groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    assert dup == 0

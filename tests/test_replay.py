@@ -1,0 +1,141 @@
+"""Replay-equivalence tests (FIXTURES.md F3, SURVEY.md §5 layer 2).
+
+Synthesize a deterministic event log, replay it through the engine,
+compare final lake state to the scalar pandas oracle fold byte-for-byte
+under token-array equality — including duplicate re-delivery, delete-
+then-insert, mid-stream schema change, and resume-from-checkpoint.
+"""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from agr_loader_spark.generator import generate_binlog, schema_change_plan
+from agr_loader_spark.lake.table import LakeTable
+from agr_loader_spark.schema import TOKENS_MERGE_KEY, TOKENS_TABLE_COLUMNS
+from agr_loader_spark.streaming.runner import ReplayRunner
+
+from .replay_oracle import oracle_fold
+
+N_EVENTS, N_DOCS, EPOCH = 6_000, 400, 1_000
+
+
+@pytest.fixture(scope="module")
+def binlog(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("binlog") / "log")
+    generate_binlog(
+        spark, n_events=N_EVENTS, n_docs=N_DOCS, epoch_size=EPOCH, seed=7,
+    ).write.partitionBy("epoch").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def oracle_df(spark, binlog):
+    pdf = spark.read.parquet(binlog).toPandas()
+    pdf["schema_change"] = pdf["schema_change"].map(
+        lambda r: None if r is None else (r if isinstance(r, dict) else r.asDict())
+    )
+    return oracle_fold(pdf)
+
+
+def _fresh_table(spark, tmproot):
+    return LakeTable.create(
+        spark, tmproot + "/tokens", TOKENS_TABLE_COLUMNS, key=TOKENS_MERGE_KEY, n_buckets=16
+    )
+
+
+def _assert_state_equals_oracle(table, oracle_df):
+    got = table.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = oracle_df.sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    for g, e in zip(got["tokens"], exp["tokens"]):
+        assert (g is None and e is None) or list(g) == list(e)  # token-array equality
+    for col in got.columns:
+        if col in ("tokens",):
+            continue
+        ge, ee = got[col], exp[col]
+        assert [None if pd.isna(x) else x for x in ge] == [
+            None if pd.isna(x) else x for x in ee
+        ], col
+
+
+def test_replay_matches_oracle(spark, tmproot, binlog, oracle_df):
+    table = _fresh_table(spark, tmproot)
+    runner = ReplayRunner(spark, table, source_path=binlog)
+    metrics = runner.run()
+    _assert_state_equals_oracle(table, oracle_df)
+    # schema evolution happened mid-stream
+    assert [c.name for c in table.columns()] == ["doc_id", "tokens", "n_tok", "origin", "lang"]
+    assert dict(table.read().dtypes)["n_tok"] == "bigint"
+    # metrics per micro-batch: every data segment produced a lineage row
+    lineage = table.lineage()
+    data_keys = {m["epoch_key"] for m in metrics if "n_upserts" in m and not m.get("skipped")}
+    assert data_keys == {l["epoch_key"] for l in lineage if "n_upserts" in l}
+    # duplicates were present and dropped
+    assert sum(l.get("n_duplicates_dropped", 0) for l in lineage) > 0
+    # lineage offsets are contiguous, ordered, non-overlapping
+    spans = [(l["min_lsn"], l["max_lsn"]) for l in lineage
+             if l.get("min_lsn") is not None]
+    assert spans == sorted(spans) and all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_resume_from_checkpoint_mid_stream(spark, tmproot, binlog, oracle_df):
+    table = _fresh_table(spark, tmproot)
+    # crash after 3 segment commits
+    ReplayRunner(spark, table, source_path=binlog).run(stop_after=3)
+    # fresh process: reload table from disk, re-run from the start
+    table2 = LakeTable.load(spark, table.root)
+    metrics = ReplayRunner(spark, table2, source_path=binlog).run()
+    assert sum(1 for m in metrics if m.get("skipped")) >= 3  # prefix was a no-op
+    _assert_state_equals_oracle(table2, oracle_df)
+    # second full replay: everything is a no-op, state unchanged
+    snap = table2.snapshot_id
+    m3 = ReplayRunner(spark, LakeTable.load(spark, table.root), source_path=binlog).run()
+    assert all(m.get("skipped") for m in m3)
+    assert LakeTable.load(spark, table.root).snapshot_id == snap
+
+
+def test_invariants(spark, tmproot, binlog):
+    table = _fresh_table(spark, tmproot)
+    ReplayRunner(spark, table, source_path=binlog).run()
+    final = table.read()
+    # F6: no duplicate merge keys (analog test_uuid_is_not_duplicated)
+    assert final.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    # F6: n_tok == size(tokens) on every row
+    bad = final.filter(F.col("n_tok") != F.size("tokens")).count()
+    assert bad == 0
+    # F6: per-source coverage — every provider tag survives
+    assert final.select("origin").distinct().count() == 8
+    # F6: every applied data epoch has exactly one lineage row
+    keys = [l["epoch_key"] for l in table.lineage()]
+    assert len(keys) == len(set(keys))
+
+
+def test_pandas_lww_path_equivalent(spark, tmproot, binlog, oracle_df):
+    table = _fresh_table(spark, tmproot)
+    ReplayRunner(spark, table, source_path=binlog, use_pandas_lww=True).run()
+    _assert_state_equals_oracle(table, oracle_df)
+
+
+def test_generator_determinism_and_skew(spark, binlog):
+    df1 = spark.read.parquet(binlog)
+    df2 = generate_binlog(spark, n_events=N_EVENTS, n_docs=N_DOCS, epoch_size=EPOCH,
+                          seed=7, partitions=3)  # different partitioning
+    a = df1.orderBy("event_lsn", "doc_id").toPandas()
+    b = df2.orderBy("event_lsn", "doc_id").toPandas()
+    assert a["event_lsn"].tolist() == b["event_lsn"].tolist()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    ta, tb = a["tokens"].tolist(), b["tokens"].tolist()
+    assert all(
+        (x is None and y is None) or np.array_equal(x, y) for x, y in zip(ta, tb)
+    )
+    # hot-key skew: top doc gets a disproportionate share
+    top = (df1.filter(F.col("op") != "S").groupBy("doc_id").count()
+           .orderBy(F.desc("count")).first())
+    assert top["count"] > 3 * (N_EVENTS / N_DOCS)
+    # schema plan is reserved: no data events at those lsns
+    reserved = [p["event_lsn"] for p in schema_change_plan(N_EVENTS)]
+    assert df1.filter(F.col("event_lsn").isin(reserved)).filter(F.col("op") != "S").count() == 0
