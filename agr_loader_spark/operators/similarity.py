@@ -1,0 +1,165 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths per the build brief:
+
+- brute_force_topk: exact cosine top-k. The dot product is a JVM-side
+  `aggregate(zip_with(...))` fold — no Python; the k-selection is a
+  window over (query, rounded score desc, neighbor asc). Quadratic:
+  the correctness baseline and the DuckDB-oracle-checkable query.
+- lsh_topk: random-hyperplane LSH. Hyperplane signs come from
+  deterministic hashes (no RNG state), bucket join produces candidates,
+  exact cosine re-ranks within buckets — the scale path (shuffle keys
+  are (plane_band, bucket), never a cross product). Multi-probe via
+  multiple independent bands keeps recall up.
+
+Scores are computed in float64 from the float32 inputs and rounded to
+6dp so Spark and DuckDB rank identically; ties break by neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _cosine(a, b) -> F.Column:
+    av = F.transform(a, lambda x: x.cast("double"))
+    bv = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query row. Output: (query_id,
+    neighbor_id, cos_sim, rank). Self-matches excluded.
+
+    The queries side is broadcast (small by construction); Catalyst
+    turns the cross into BroadcastNestedLoopJoin so the big side never
+    shuffles.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def _hyperplane_signs(vec: pd.Series, meta: pd.Series) -> pd.Series:
+    """Sign bits of <v, H_p> for deterministic pseudo-random hyperplanes.
+
+    meta packs (seed, n_planes, dim). Hyperplane components are
+    counter-hash-derived N(0,1)-ish values (sum of 4 uniforms - 2), so
+    every executor regenerates the identical planes with no broadcast
+    of RNG state. Vectorized: one matmul per Arrow batch.
+    """
+    if len(vec) == 0:
+        return pd.Series([], dtype=object)
+    seed, n_planes, dim = (int(x) for x in meta.iloc[0].split(":"))
+    u64 = np.uint64
+
+    def splitmix(x):
+        x = x + u64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> u64(30))) * u64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> u64(27))) * u64(0x94D049BB133111EB)
+        return x ^ (x >> u64(31))
+
+    idx = np.arange(n_planes * dim * 4, dtype=np.uint64)
+    h = splitmix(idx ^ splitmix(np.array([seed], dtype=np.uint64))[0])
+    uni = (h >> u64(11)).astype(np.float64) / float(1 << 53)
+    planes = (uni.reshape(n_planes, dim, 4).sum(axis=2) - 2.0)  # approx N(0,1)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+    signs = (mat @ planes.T) > 0
+    return pd.Series([row.astype(np.int32) for row in signs.astype(np.int32)])
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets -> candidate
+    equi-join -> exact cosine re-rank. Recall grows with ``bands``
+    (independent 4-plane bands, multi-probe by union)."""
+    dim_row = embeddings.select(F.size(vec_col)).first()
+    dim = dim_row[0]
+    meta = F.lit(f"{seed}:{n_planes}:{dim}")
+    r = n_planes // bands
+
+    def with_buckets(df, side):
+        signs = _hyperplane_signs(F.col(vec_col), meta)
+        d = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            signs.alias("signs"),
+        )
+        bucket = F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("signs").getItem(b * r + j) for j in range(r)])
+                for b in range(bands)
+            ])
+        )
+        return d.select(f"{side}_id", f"{side}_vec", bucket.alias("band", "bucket"))
+
+    qb = with_buckets(queries, "query")
+    eb = with_buckets(embeddings, "neighbor")
+    candidates = (
+        qb.join(eb, on=["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id",
+        F.round(_cosine(F.col("query_vec"), F.col("neighbor_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force; pair the LSH
+    candidate generator above for scale). Output: (id_a, id_b, cos_sim)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from ..lake.table import OP_COL, LakeTable
 
 
-def plan_changeset(events: DataFrame, table: LakeTable, op_col: str = "op") -> DataFrame:
+def plan_changeset(
+    events: DataFrame,
+    table: LakeTable,
+    op_col: str = "op",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """events: one row per merge key (post-LWW), EVENT_SCHEMA-shaped.
     Returns current-schema columns + __op, ready for ``LakeTable.merge``.
 
@@ -38,4 +43,5 @@ def plan_changeset(events: DataFrame, table: LakeTable, op_col: str = "op") -> D
         else:
             proj.append(F.lit(None).cast(c.type).alias(c.name))
     op = F.when(F.col(op_col) == "D", F.lit("D")).otherwise(F.lit("U")).alias(OP_COL)
-    return events.select(*proj, op)
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return events.select(*proj, op, *extra)

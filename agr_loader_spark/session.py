@@ -17,6 +17,7 @@ def get_spark(
     app_name: str = "agr_loader_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build a local SparkSession tuned for the engine.
 
@@ -29,16 +30,57 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # master override: e.g. "local-cluster[4,4,8192]" runs 4 SEPARATE
+    # executor JVMs — the honest emulation of N vs 4N executors for the
+    # scaling-efficiency evidence (single-JVM local[N] shares one GC and
+    # memory bus across all "executors").
+    if master is None:
+        master = os.environ.get("SPARK_MASTER_OVERRIDE", f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # benchmark-scale shuffles are a few hundred MB; the 64MB default
+        # advisory size coalesces them below the core count and serializes
+        # stages. 8MB keeps all cores busy here and is irrelevant at
+        # cluster scale (shuffles >> cores x 64MB there).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_ADVISORY_PARTITION_BYTES", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # token-array payloads make sort-merge joins sort-heavy; shuffled
+        # hash join streams them (AQE still falls back on skew/size)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # narrow (key, lsn) winner sets broadcast well into the tens of MB;
+        # AQE downgrades to shuffle joins automatically when they don't fit
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_BCAST_THRESHOLD", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] emulates an N-core executor: pin JVM-internal pools
+        # (GC) to N threads too, else a local[2] run silently uses all
+        # host CPUs for GC and distorts the N-vs-4N scaling evidence
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={max(cores, 1)} -XX:ConcGCThreads={max(cores // 4, 1)}",
+        )
+    )
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    # local-cluster executors spawn their own Python workers; make this
+    # package importable there (spark-submit --py-files does this on a
+    # real cluster)
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    builder = builder.config(
+        "spark.executorEnv.PYTHONPATH", f"{pkg_dir}:{existing}" if existing else pkg_dir
     )
     return builder.getOrCreate()

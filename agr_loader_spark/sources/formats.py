@@ -1,0 +1,151 @@
+"""File-format scans (SURVEY.md §2.1, S3-S9) as native Spark readers.
+
+The reference hand-parses every format row-by-row in Python
+(csv.reader, inline line parsers, ontobio). Here each format is a
+declarative scan — comment filtering, attribute-map parsing, and column
+typing all stay in the JVM scan + expression layer so predicate
+pushdown/column pruning apply, and the only Python is the OBO stanza
+regrouping (mapInPandas over partition-contiguous lines).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_commented_tsv(
+    spark: SparkSession, path: str, comment: str = "#", schema: str | None = None,
+) -> DataFrame:
+    """S3: tab CSV skipping comment lines (src/files/csv_file.py:20-28 +
+    src/files/comment_file.py). Spark's csv reader handles the comment
+    char natively — the filter happens during the scan."""
+    r = spark.read.option("sep", "\t").option("comment", comment)
+    if schema:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "false")
+    return r.csv(path)
+
+
+GAF_COLUMNS = [
+    "db", "db_object_id", "db_object_symbol", "qualifier", "go_id", "db_reference",
+    "evidence_code", "with_or_from", "aspect", "db_object_name", "db_object_synonym",
+    "db_object_type", "taxon", "date", "assigned_by", "annotation_extension",
+    "gene_product_form_id",
+]
+
+
+def read_gaf(spark: SparkSession, path: str) -> DataFrame:
+    """S4: GAF TSV with '!' comments; gene ids prefixed with the db
+    column the way the reference does (src/etl/go_annot_etl.py:85-117)."""
+    df = read_commented_tsv(spark, path, comment="!")
+    df = df.toDF(*GAF_COLUMNS[: len(df.columns)])
+    return df.withColumn(
+        "gene_id",
+        F.when(
+            F.col("db_object_id").contains(":"), F.col("db_object_id")
+        ).otherwise(F.concat_ws(":", F.col("db"), F.col("db_object_id"))),
+    )
+
+
+GFF3_SCHEMA = (
+    "seqid string, source string, type string, start int, end int, "
+    "score string, strand string, phase string, attributes string"
+)
+
+
+def read_gff3(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """S5: GFF3 -> (features with attr map, header directives).
+
+    The reference's 210-line inline parser (src/etl/transcript_etl.py:219-428)
+    becomes: csv scan with comment='#' for features + a text scan filtered
+    to '#!' for header metadata. The 9th column becomes a real MapType via
+    str_to_map, so downstream does `attrs['ID']` instead of regex."""
+    feats = (
+        spark.read.option("sep", "\t").option("comment", "#").schema(GFF3_SCHEMA).csv(path)
+        .withColumn("attrs", F.expr("str_to_map(attributes, ';', '=')"))
+        .drop("attributes")
+    )
+    headers = (
+        spark.read.text(path)
+        .filter(F.col("value").startswith("#!"))
+        .select(
+            F.regexp_extract("value", r"^#!(\S+)\s+(.*)$", 1).alias("key"),
+            F.regexp_extract("value", r"^#!(\S+)\s+(.*)$", 2).alias("val"),
+        )
+    )
+    return feats, headers
+
+
+def read_kv_attr_table(
+    spark: SparkSession, path: str, schema: str, attr_col: str,
+    comment: str = "#", sep: str = "\t",
+) -> DataFrame:
+    """S9 (VEP-style): TSV whose last column is `KEY=value;KEY=value`
+    (src/etl/vep_etl.py:81-141). Returns the frame with `attrs` map."""
+    df = spark.read.option("sep", sep).option("comment", comment).schema(schema).csv(path)
+    return df.withColumn("attrs", F.expr(f"str_to_map({attr_col}, ';', '=')"))
+
+
+OBO_TERM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("namespace", T.StringType()),
+        T.StructField("is_obsolete", T.BooleanType()),
+        T.StructField("is_a", T.ArrayType(T.StringType())),
+        T.StructField("synonyms", T.ArrayType(T.StringType())),
+        T.StructField("subsets", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def read_obo_terms(spark: SparkSession, path: str) -> DataFrame:
+    """S6: OBO `[Term]` stanza scan (src/etl/helpers/obo_helper.py:218-278).
+
+    wholeTextFiles-free: `spark.read.text` with line numbers would split
+    stanzas across partitions, so stanza regrouping runs in mapInPandas
+    over whole files read as binaryFile (OBO files are single-digit MB;
+    for a truly huge ontology, pre-split by stanza offset). Output: one
+    row per term with typed arrays.
+    """
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for content in b["content"]:
+                text = content.decode("utf-8", errors="replace")
+                for stanza in text.split("\n[")[0:]:
+                    header, _, body = stanza.partition("\n")
+                    if not header.strip().strip("[]").startswith("Term"):
+                        continue
+                    term = {"id": None, "name": None, "namespace": None,
+                            "is_obsolete": False, "is_a": [], "synonyms": [], "subsets": []}
+                    for line in body.splitlines():
+                        k, _, v = line.partition(":")
+                        v = v.strip()
+                        if k == "id":
+                            term["id"] = v
+                        elif k == "name":
+                            term["name"] = v
+                        elif k == "namespace":
+                            term["namespace"] = v
+                        elif k == "is_obsolete":
+                            term["is_obsolete"] = v == "true"
+                        elif k == "is_a":
+                            term["is_a"].append(v.split("!")[0].strip())
+                        elif k == "synonym":
+                            term["synonyms"].append(v)
+                        elif k == "subset":
+                            term["subsets"].append(v)
+                    if term["id"]:
+                        rows.append(term)
+            yield pd.DataFrame(rows, columns=[f.name for f in OBO_TERM_SCHEMA.fields])
+
+    return raw.mapInPandas(parse, schema=OBO_TERM_SCHEMA)

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
-from ..operators.dedup import dedup_redelivery, lww_reduce, lww_reduce_pandas
+from ..operators.dedup import lww_reduce, lww_reduce_pandas, lww_reduce_salted
 from ..plans.merge import plan_changeset
 
 
@@ -52,6 +52,8 @@ class ReplayRunner:
         source_df: DataFrame | None = None,
         salt_buckets: int = 16,
         use_pandas_lww: bool = False,
+        use_salted_lww: bool = False,
+        sink: str = "arrow",  # "arrow" (2-stage state-colocated) | "jvm"
     ):
         if (source_path is None) == (source_df is None):
             raise ValueError("exactly one of source_path / source_df")
@@ -61,6 +63,8 @@ class ReplayRunner:
         self.source_df = source_df
         self.salt_buckets = salt_buckets
         self.use_pandas_lww = use_pandas_lww
+        self.use_salted_lww = use_salted_lww
+        self.sink = sink
 
     # ------------------------------------------------------------------ source
     def _events(self) -> DataFrame:
@@ -77,14 +81,62 @@ class ReplayRunner:
         ]
 
     # ------------------------------------------------------------------ replay
+    def _plan(self, epochs: list[int] | None):
+        """ONE planning pass for the whole replay: collect the (rare)
+        schema events, then compute per-segment stats — offsets, counts,
+        dup estimate, touched buckets — in a single grouped aggregation
+        over the log. The replay loop then runs exactly one Spark job
+        per micro-batch (the merge write); nothing else touches the
+        cluster. At 10^10 events this planning job scans 3 narrow
+        columns once, grouped by (epoch, segment)."""
+        ev = self._events()
+        if epochs is not None:
+            ev = ev.filter(F.col("epoch").isin(epochs))
+        schema_rows = sorted(
+            ev.filter(F.col("op") == "S")
+            .select("epoch", "event_lsn", "schema_change").collect(),
+            key=lambda r: r["event_lsn"],
+        )
+        bounds_by_epoch: dict[int, list] = {}
+        for r in schema_rows:
+            bounds_by_epoch.setdefault(r["epoch"], []).append(r)
+
+        # data segment index: 2 * (# schema events of the same epoch below
+        # this lsn) — matches the 0,(1),2,(3),4… numbering where odd
+        # segments are the schema commits themselves.
+        seg_expr = F.lit(0)
+        for r in schema_rows:
+            seg_expr = seg_expr + F.when(
+                (F.col("epoch") == r["epoch"]) & (F.col("event_lsn") > r["event_lsn"]), 2
+            ).otherwise(0)
+        data = ev.filter(F.col("op") != "S")
+        stats_rows = (
+            data.groupBy("epoch", seg_expr.alias("seg"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.min("event_lsn").alias("min_lsn"),
+                F.max("event_lsn").alias("max_lsn"),
+                # metrics-only: approx avoids a full (doc, lsn) dedup shuffle
+                F.approx_count_distinct(
+                    F.concat_ws(":", "doc_id", "event_lsn")
+                ).alias("n_unique"),
+                F.collect_set(self.table._bucket_expr(F.col("doc_id"))).alias("buckets"),
+            )
+            .collect()
+        )
+        stats = {(r["epoch"], r["seg"]): r for r in stats_rows}
+        all_epochs = sorted({e for e, _ in stats} | set(bounds_by_epoch))
+        return all_epochs, bounds_by_epoch, stats
+
     def run(self, epochs: list[int] | None = None, stop_after: int | None = None) -> list[dict]:
         """Replay epochs in order; skip already-committed segments.
         ``stop_after`` = crash-injection point for resume tests (number of
         segment commits to perform before stopping)."""
+        all_epochs, bounds_by_epoch, stats = self._plan(epochs)
         all_metrics: list[dict] = []
         committed = 0
-        for epoch in epochs if epochs is not None else self.list_epochs():
-            for m in self._run_epoch(epoch):
+        for epoch in all_epochs:
+            for m in self._run_epoch(epoch, bounds_by_epoch.get(epoch, []), stats):
                 all_metrics.append(m)
                 if not m.get("skipped"):
                     committed += 1
@@ -92,16 +144,9 @@ class ReplayRunner:
                     return all_metrics
         return all_metrics
 
-    def _run_epoch(self, epoch: int):
-        ev = self._events().filter(F.col("epoch") == epoch)
-        # schema events are rare singletons (3 per run in F2) — safe collect
-        schema_events = sorted(
-            ev.filter(F.col("op") == "S").select("event_lsn", "schema_change").collect(),
-            key=lambda r: r["event_lsn"],
-        )
+    def _run_epoch(self, epoch: int, schema_events: list, stats: dict):
+        data = self._events().filter((F.col("epoch") == epoch) & (F.col("op") != "S"))
         bounds = [r["event_lsn"] for r in schema_events]
-        data = ev.filter(F.col("op") != "S")
-
         seg = 0
         lo = None
         for i, b in enumerate(bounds + [None]):
@@ -110,37 +155,52 @@ class ReplayRunner:
                 cond = cond & (F.col("event_lsn") > lo)
             if b is not None:
                 cond = cond & (F.col("event_lsn") < b)
-            yield self._apply_data_segment(epoch, seg, data.filter(cond))
+            yield self._apply_data_segment(
+                epoch, seg, data.filter(cond), stats.get((epoch, seg))
+            )
             seg += 1
             if b is not None:
                 yield self._apply_schema_event(epoch, seg, schema_events[i])
                 seg += 1
                 lo = b
 
-    def _apply_data_segment(self, epoch: int, seg: int, events: DataFrame) -> dict:
+    def _apply_data_segment(self, epoch: int, seg: int, events: DataFrame, stats) -> dict:
         epoch_key = f"{epoch}:{seg}"
         t0 = time.monotonic()
         if epoch_key in self.table.applied_epochs():
             return {"epoch_key": epoch_key, "skipped": True}
-        stats = events.groupBy().agg(
-            F.count("*").alias("n_events"),
-            F.min("event_lsn").alias("min_lsn"),
-            F.max("event_lsn").alias("max_lsn"),
-            F.count_distinct("doc_id", "event_lsn").alias("n_unique"),
-        ).collect()[0]
-        n_events = int(stats["n_events"] or 0)
-        deduped = dedup_redelivery(events)
-        reducer = lww_reduce_pandas if self.use_pandas_lww else lww_reduce
-        latest = reducer(deduped, key="doc_id", order_col="event_lsn",
-                         salt_buckets=self.salt_buckets)
-        changes = plan_changeset(latest, self.table)
+        n_events = int(stats["n_events"]) if stats is not None else 0
         lineage = {
-            "min_lsn": int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
-            "max_lsn": int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
+            "min_lsn": int(stats["min_lsn"]) if stats is not None else None,
+            "max_lsn": int(stats["max_lsn"]) if stats is not None else None,
             "n_events": n_events,
-            "n_duplicates_dropped": n_events - int(stats["n_unique"] or 0),
+            "n_duplicates_dropped_approx": (
+                max(0, n_events - int(stats["n_unique"])) if stats is not None else 0
+            ),
         }
-        result = self.table.merge(changes, epoch_key=epoch_key, lineage=lineage)
+        touched = stats["buckets"] if stats is not None else []
+        if self.sink == "arrow":
+            # LWW + re-delivery dedup happen inside the bucket fold; the
+            # JVM side is scan -> project -> one shuffle
+            changes = plan_changeset(events, self.table, keep_cols=["event_lsn"])
+            result = self.table.merge_arrow(
+                changes, epoch_key=epoch_key, lsn_col="event_lsn",
+                lineage=lineage, touched_buckets=touched,
+            )
+        else:
+            if self.use_pandas_lww:
+                reducer = lww_reduce_pandas
+            elif self.use_salted_lww:
+                reducer = lww_reduce_salted
+            else:
+                reducer = lww_reduce  # semi-join path; collapses re-deliveries
+            latest = reducer(events, key="doc_id", order_col="event_lsn",
+                             salt_buckets=self.salt_buckets)
+            changes = plan_changeset(latest, self.table)
+            result = self.table.merge(
+                changes, epoch_key=epoch_key, lineage=lineage,
+                touched_buckets=touched,
+            )
         result["seconds"] = round(time.monotonic() - t0, 4)
         self._emit(result)
         return result

@@ -6,6 +6,7 @@ from agr_loader_spark.operators.dedup import (
     dedup_redelivery,
     lww_reduce,
     lww_reduce_pandas,
+    lww_reduce_salted,
     lww_reduce_window,
 )
 
@@ -24,17 +25,19 @@ def _frame(spark):
 
 def test_lww_implementations_agree(spark):
     df = _frame(spark)
-    a = {r["doc_id"]: (r["event_lsn"], r["tokens"]) for r in lww_reduce(df).collect()}
-    b = {r["doc_id"]: (r["event_lsn"], r["tokens"]) for r in lww_reduce_window(df).collect()}
-    c = {r["doc_id"]: (r["event_lsn"], r["tokens"]) for r in lww_reduce_pandas(df).collect()}
-    assert a == b == c
-    assert a["hot"] == (499, [499])
-    assert len(a) == 51
+    outs = [
+        {r["doc_id"]: (r["event_lsn"], r["tokens"]) for r in impl(df).collect()}
+        for impl in (lww_reduce, lww_reduce_salted, lww_reduce_window, lww_reduce_pandas)
+    ]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+    assert outs[0]["hot"] == (499, [499])
+    assert len(outs[0]) == 51
 
 
 def test_lww_output_schema_matches_input(spark):
     df = _frame(spark)
     assert lww_reduce(df).columns == df.columns
+    assert lww_reduce_salted(df).columns == df.columns
     assert lww_reduce_pandas(df).columns == df.columns
 
 
@@ -49,9 +52,11 @@ def test_dedup_redelivery(spark):
 
 
 def test_lww_is_jvm_side(spark):
-    """The default LWW path must stay in whole-stage codegen (no Python)."""
+    """The default LWW path must stay JVM-side (no Python eval) with a
+    map-side partial combine of the narrow (key, lsn) aggregation."""
     plan = lww_reduce(_frame(spark))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # declarative max_by over a struct buffer -> SortAggregate with a
-    # partial (map-side) combine before each exchange
-    assert "partial_max_by" in plan and "Aggregate" in plan
+    assert "partial_max" in plan and "LeftSemi" in plan
+    # salted variant: max_by struct with partial combine
+    plan2 = lww_reduce_salted(_frame(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan2 and "BatchEvalPython" not in plan2

@@ -62,9 +62,10 @@ def _assert_state_equals_oracle(table, oracle_df):
         ], col
 
 
-def test_replay_matches_oracle(spark, tmproot, binlog, oracle_df):
+@pytest.mark.parametrize("sink", ["arrow", "jvm"])
+def test_replay_matches_oracle(spark, tmproot, binlog, oracle_df, sink):
     table = _fresh_table(spark, tmproot)
-    runner = ReplayRunner(spark, table, source_path=binlog)
+    runner = ReplayRunner(spark, table, source_path=binlog, sink=sink)
     metrics = runner.run()
     _assert_state_equals_oracle(table, oracle_df)
     # schema evolution happened mid-stream
@@ -75,7 +76,7 @@ def test_replay_matches_oracle(spark, tmproot, binlog, oracle_df):
     data_keys = {m["epoch_key"] for m in metrics if "n_upserts" in m and not m.get("skipped")}
     assert data_keys == {l["epoch_key"] for l in lineage if "n_upserts" in l}
     # duplicates were present and dropped
-    assert sum(l.get("n_duplicates_dropped", 0) for l in lineage) > 0
+    assert sum(l.get("n_duplicates_dropped_approx", 0) for l in lineage) > 0
     # lineage offsets are contiguous, ordered, non-overlapping
     spans = [(l["min_lsn"], l["max_lsn"]) for l in lineage
              if l.get("min_lsn") is not None]
@@ -116,7 +117,15 @@ def test_invariants(spark, tmproot, binlog):
 
 def test_pandas_lww_path_equivalent(spark, tmproot, binlog, oracle_df):
     table = _fresh_table(spark, tmproot)
-    ReplayRunner(spark, table, source_path=binlog, use_pandas_lww=True).run()
+    ReplayRunner(spark, table, source_path=binlog, use_pandas_lww=True,
+                 sink="jvm").run()
+    _assert_state_equals_oracle(table, oracle_df)
+
+
+def test_salted_lww_path_equivalent(spark, tmproot, binlog, oracle_df):
+    table = _fresh_table(spark, tmproot)
+    ReplayRunner(spark, table, source_path=binlog, use_salted_lww=True,
+                 sink="jvm").run()
     _assert_state_equals_oracle(table, oracle_df)
 
 

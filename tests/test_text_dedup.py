@@ -1,0 +1,104 @@
+"""Training-data operators: dedup suite, similarity, text QC, multimodal."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from agr_loader_spark.operators.dedup_docs import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from agr_loader_spark.operators.similarity import brute_force_topk, lsh_topk
+from agr_loader_spark.operators.textqc import doc_fingerprint, rolling_fingerprint_str
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_partitions_corpus(spark, docs):
+    out = exact_dedup(docs)
+    assert out.agg(F.sum("n_dups")).collect()[0][0] == docs.count()
+    assert out.groupBy("content_md5").count().filter("count > 1").count() == 0
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # LSH verifies candidates exactly -> no false positives
+    assert set(lsh) <= set(exact)
+    # 16 bands x 4 rows at j>=0.9 -> recall ~1; these corpora dup at >=0.9
+    high = {k for k, j in exact.items() if j >= 0.9}
+    assert high and high <= set(lsh)
+    for k in lsh:
+        assert lsh[k] == exact[k]
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    near = {(r["doc_a"], r["doc_b"]) for r in exact if r["jaccard"] >= 0.9}
+    sim = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert near and len(near & sim) / len(near) >= 0.8
+
+
+def test_fingerprint_matches_scalar_reference(spark, docs):
+    rows = docs.limit(20).select("doc_id", "text",
+                                 doc_fingerprint(F.col("text")).alias("fp")).collect()
+    for r in rows:
+        assert r["fp"] == rolling_fingerprint_str(r["text"]), r["doc_id"]
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_topk(emb, q, k=5, n_planes=32, bands=8).collect()
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(ex & ap) / len(ex) >= 0.6  # recall floor for 8x4-plane bands
+
+
+def test_brute_force_topk_plan_broadcasts(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = brute_force_topk(emb, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_multimodal_plumbing(spark):
+    from agr_loader_spark.operators.multimodal import (
+        extract_features, repartition_for_decode, synthesize_media,
+    )
+
+    media = repartition_for_decode(synthesize_media(spark, n=32), 4)
+    feats = extract_features(media, feat_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        v = np.array(r["features"])
+        assert len(v) == 8 and abs(float(np.linalg.norm(v)) - 1.0) < 1e-3
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(media, decode_stub="raise").collect()
+
+
+def test_media_generation_deterministic(spark):
+    from agr_loader_spark.operators.multimodal import synthesize_media
+
+    a = {r["media_id"]: r["payload"] for r in synthesize_media(spark, n=8).collect()}
+    b = {r["media_id"]: r["payload"]
+         for r in synthesize_media(spark, n=8).repartition(3).collect()}
+    assert a == b
