@@ -275,6 +275,78 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered group re-join (SURVEY.md J8): the reference stitches CDS
+    fragments per transcript ordered by start position in a Python loop
+    (src/etl/protein_sequence_etl.py:107-212); here: collect_list of
+    structs + array_sort + transform/array_join — one aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("l_linenumber"), F.col("l_returnflag")))
+    )
+    return l.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(parts, lambda x: x["l_returnflag"]), ""
+        ).alias("flag_seq"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_xref_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading identifier resolution (SURVEY.md J2/J3): probe two
+    broadcast lookup maps in priority order, coalesce the first hit —
+    replacing the reference's per-row dict-cascade
+    (src/etl/molecular_interaction_etl.py:308-403)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    primary = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k1"), F.col("c_name").alias("name1"))
+    )
+    fallback = F.broadcast(
+        c.select(F.col("c_custkey").alias("k2"), F.upper("c_mktsegment").alias("name2"))
+    )
+    return (
+        o.join(primary, o.o_custkey == F.col("k1"), "left")
+        .join(fallback, o.o_custkey == F.col("k2"), "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("name1"), F.col("name2"), F.lit("UNRESOLVED")).alias("resolved"),
+            F.when(F.col("name1").isNotNull(), "primary")
+            .when(F.col("name2").isNotNull(), "fallback")
+            .otherwise("none").alias("resolution"),
+        )
+    )
+
+
+def q_count_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table row counts (SURVEY.md A1 — NodeCountETL analog,
+    src/etl/node_count_etl.py:20-78)."""
+    frames = []
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        frames.append(
+            _t(spark, sf_dir, t).select(F.lit(t).alias("tbl")).groupBy("tbl")
+            .agg(F.count("*").alias("n_rows"))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def q_url_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL templating + pattern validation (SURVEY.md T13 — the
+    resource-descriptor [%s] substitution + gid_pattern rlike,
+    src/etl/helpers/resource_descriptor_helper_2.py:244-336)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.format_string("https://%s.example.org/doc/%d", F.col("source"), F.col("doc_id"))
+    return d.select(
+        "doc_id", url.alias("url"),
+        url.rlike("^https://src[0-9]+\\.example\\.org/doc/[0-9]+$").alias("valid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -307,6 +379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_key": q_composite_key,
         "date_normalize": q_date_normalize,
         "multimodal_features": q_multimodal_features,
+        "ordered_concat": q_ordered_concat,
+        "xref_resolve": q_xref_resolve,
+        "count_regression": q_count_regression,
+        "url_template": q_url_template,
     }
 
 
@@ -480,6 +556,44 @@ def oracle_sql() -> dict[str, str]:
                sha256(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
                                 o_orderstatus, o_orderpriority)) AS row_key
         FROM orders
+    """
+    sql["ordered_concat"] = """
+        SELECT l_orderkey,
+               string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS flag_seq,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    """
+    sql["xref_resolve"] = """
+        SELECT o_orderkey,
+               coalesce(p.name1, f.name2, 'UNRESOLVED') AS resolved,
+               CASE WHEN p.name1 IS NOT NULL THEN 'primary'
+                    WHEN f.name2 IS NOT NULL THEN 'fallback'
+                    ELSE 'none' END AS resolution
+        FROM orders
+        LEFT JOIN (SELECT c_custkey AS k1, c_name AS name1
+                   FROM customer WHERE c_acctbal > 0) p ON o_custkey = p.k1
+        LEFT JOIN (SELECT c_custkey AS k2, upper(c_mktsegment) AS name2
+                   FROM customer) f ON o_custkey = f.k2
+    """
+    sql["count_regression"] = """
+        SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows FROM region
+        UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT) FROM nation
+        UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
+        UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier
+        UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
+        UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+        UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+        UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
+        UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings
+    """
+    sql["url_template"] = """
+        SELECT doc_id,
+               printf('https://%s.example.org/doc/%d', source, doc_id) AS url,
+               regexp_full_match(
+                   printf('https://%s.example.org/doc/%d', source, doc_id),
+                   'https://src[0-9]+\\.example\\.org/doc/[0-9]+') AS valid
+        FROM documents
     """
     sql["date_normalize"] = """
         SELECT o_orderkey,

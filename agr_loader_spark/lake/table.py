@@ -319,6 +319,28 @@ class LakeTable:
         self._m = m
         return {"skipped": False, **lin}
 
+    def fold_partitions(self, n_touched: int) -> int:
+        """Fold task granularity: enough partitions to balance bucket-size
+        variance across the cluster (4x cores), but never more than the
+        touched-bucket count (each extra task is an Arrow round-trip)."""
+        cores = self.spark.sparkContext.defaultParallelism
+        return max(1, min(n_touched, 4 * cores))
+
+    def prepare_changes(self, changes: DataFrame, lsn_col: str, n_touched: int) -> DataFrame:
+        """Stage-1 of the arrow merge as a standalone frame: cast to the
+        current schema, add the bucket column, repartition for the fold.
+        Used by the runner to PIPELINE the next micro-batch's scan+shuffle
+        under the current micro-batch's fold (persist + materialize on a
+        second thread; pure compute, no commit, so exactly-once is
+        untouched)."""
+        cur = self.columns()
+        prepared = changes.select(
+            *[F.col(c.name).cast(c.type).alias(c.name) for c in cur],
+            F.col(OP_COL),
+            F.col(lsn_col).cast("long").alias(lsn_col),
+        ).withColumn(BUCKET_COL, self._bucket_expr(F.col(self.key)))
+        return prepared.repartition(self.fold_partitions(n_touched), F.col(BUCKET_COL))
+
     def merge_arrow(
         self,
         changes: DataFrame,
@@ -326,6 +348,7 @@ class LakeTable:
         lsn_col: str,
         lineage: dict | None = None,
         touched_buckets: Sequence[int] | None = None,
+        prepared: bool = False,
     ) -> dict:
         """Two-stage Arrow-native merge (see lake/arrow_merge.py).
 
@@ -340,19 +363,18 @@ class LakeTable:
             return {"skipped": True, "epoch_key": epoch_key, "snapshot_id": self.snapshot_id}
 
         cur = self.columns()
-        changes = changes.select(
-            *[F.col(c.name).cast(c.type).alias(c.name) for c in cur],
-            F.col(OP_COL),
-            F.col(lsn_col).cast("long").alias(lsn_col),
-        ).withColumn(BUCKET_COL, self._bucket_expr(F.col(self.key)))
-
         if touched_buckets is None:
+            if not prepared:
+                changes = self.prepare_changes(changes, lsn_col, self.n_buckets)
+                prepared = True
             touched_buckets = [
                 r[0] for r in changes.select(BUCKET_COL).distinct().collect()
             ]
         touched = sorted(int(b) for b in touched_buckets)
         if not touched:
             return self._commit_noop(epoch_key, lineage)
+        if not prepared:
+            changes = self.prepare_changes(changes, lsn_col, len(touched))
 
         new_sid = self.snapshot_id + 1
         stage_rel = os.path.join("data", str(new_sid))
@@ -374,6 +396,8 @@ class LakeTable:
             lsn_col=lsn_col,
             bucket_col=BUCKET_COL,
         )
+        # hash(bucket, n) partitioning from prepare_changes satisfies the
+        # groupBy's clustered distribution, so no second shuffle here.
         manifests = (
             changes.groupBy(BUCKET_COL)
             .applyInPandas(fold, schema=MANIFEST_SCHEMA)

@@ -54,6 +54,9 @@ def get_spark(
         # token-array payloads make sort-merge joins sort-heavy; shuffled
         # hash join streams them (AQE still falls back on skew/size)
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # dynamic-partition writes otherwise sort the whole task output
+        # (spills on multi-GB generator tasks); concurrent writers stream
+        .config("spark.sql.maxConcurrentOutputFileWriters", "16")
         # narrow (key, lsn) winner sets broadcast well into the tens of MB;
         # AQE downgrades to shuffle joins automatically when they don't fit
         .config(

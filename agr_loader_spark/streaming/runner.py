@@ -54,6 +54,7 @@ class ReplayRunner:
         use_pandas_lww: bool = False,
         use_salted_lww: bool = False,
         sink: str = "arrow",  # "arrow" (2-stage state-colocated) | "jvm"
+        pipeline: bool = False,  # experimental: prefetch next segment's shuffle (the persist+extra pass cost usually exceeds the overlap win)
     ):
         if (source_path is None) == (source_df is None):
             raise ValueError("exactly one of source_path / source_df")
@@ -65,6 +66,7 @@ class ReplayRunner:
         self.use_pandas_lww = use_pandas_lww
         self.use_salted_lww = use_salted_lww
         self.sink = sink
+        self.pipeline = pipeline
 
     # ------------------------------------------------------------------ source
     def _events(self) -> DataFrame:
@@ -128,47 +130,115 @@ class ReplayRunner:
         all_epochs = sorted({e for e, _ in stats} | set(bounds_by_epoch))
         return all_epochs, bounds_by_epoch, stats
 
+    def _op_list(self, all_epochs, bounds_by_epoch):
+        """Flatten the replay into an ordered op list:
+        ("data", epoch, seg, lo_lsn, hi_lsn) and ("schema", epoch, seg, row)."""
+        ops = []
+        for epoch in all_epochs:
+            schema_events = bounds_by_epoch.get(epoch, [])
+            bounds = [r["event_lsn"] for r in schema_events]
+            seg, lo = 0, None
+            for i, b in enumerate(bounds + [None]):
+                ops.append(("data", epoch, seg, lo, b))
+                seg += 1
+                if b is not None:
+                    ops.append(("schema", epoch, seg, schema_events[i]))
+                    seg += 1
+                    lo = b
+        return ops
+
+    def _segment_events(self, epoch: int, lo, hi) -> DataFrame:
+        cond = (F.col("epoch") == epoch) & (F.col("op") != "S")
+        if lo is not None:
+            cond = cond & (F.col("event_lsn") > lo)
+        if hi is not None:
+            cond = cond & (F.col("event_lsn") < hi)
+        return self._events().filter(cond)
+
+    def _prepare(self, epoch: int, seg: int, lo, hi, stats):
+        """Stage-1 (scan -> project -> shuffle) of a data segment,
+        materialized via persist. Runs on the prefetch thread so the NEXT
+        micro-batch's shuffle overlaps the current one's fold — pure
+        compute ahead of the commit, never past a schema boundary."""
+        st = stats.get((epoch, seg))
+        touched = st["buckets"] if st is not None else []
+        events = self._segment_events(epoch, lo, hi)
+        changes = plan_changeset(events, self.table, keep_cols=["event_lsn"])
+        prepared = self.table.prepare_changes(changes, "event_lsn", len(touched))
+        prepared = prepared.persist()
+        prepared.count()  # materialize scan + shuffle
+        return prepared
+
     def run(self, epochs: list[int] | None = None, stop_after: int | None = None) -> list[dict]:
         """Replay epochs in order; skip already-committed segments.
         ``stop_after`` = crash-injection point for resume tests (number of
         segment commits to perform before stopping)."""
+        import concurrent.futures as cf
+
         all_epochs, bounds_by_epoch, stats = self._plan(epochs)
+        ops = self._op_list(all_epochs, bounds_by_epoch)
         all_metrics: list[dict] = []
         committed = 0
-        for epoch in all_epochs:
-            for m in self._run_epoch(epoch, bounds_by_epoch.get(epoch, []), stats):
+        futures: dict[tuple[int, int], cf.Future] = {}
+        pool = cf.ThreadPoolExecutor(max_workers=1) if (
+            self.pipeline and self.sink == "arrow"
+        ) else None
+        try:
+            for i, op in enumerate(ops):
+                if pool is not None and op[0] == "data":
+                    # prefetch the next data segment IF no schema op sits
+                    # between (its changeset must be planned under the
+                    # current table schema)
+                    for nxt in ops[i + 1:]:
+                        if nxt[0] == "schema":
+                            break
+                        _, ne, ns, nlo, nhi = nxt
+                        if f"{ne}:{ns}" not in self.table.applied_epochs():
+                            futures[(ne, ns)] = pool.submit(
+                                self._prepare, ne, ns, nlo, nhi, stats
+                            )
+                        break
+                if op[0] == "data":
+                    _, epoch, seg, lo, hi = op
+                    fut = futures.pop((epoch, seg), None)
+                    prepared = None
+                    if fut is not None:
+                        try:
+                            prepared = fut.result()
+                        except Exception:
+                            prepared = None
+                    m = self._apply_data_segment(
+                        epoch, seg, lo, hi, stats.get((epoch, seg)), prepared
+                    )
+                else:
+                    _, epoch, seg, row = op
+                    m = self._apply_schema_event(epoch, seg, row)
                 all_metrics.append(m)
                 if not m.get("skipped"):
                     committed += 1
                 if stop_after is not None and committed >= stop_after:
-                    return all_metrics
-        return all_metrics
+                    break
+            return all_metrics
+        finally:
+            for fut in futures.values():
+                fut.cancel()
+                if fut.done() and not fut.cancelled() and fut.exception() is None:
+                    try:
+                        fut.result().unpersist()
+                    except Exception:
+                        pass
+            if pool is not None:
+                pool.shutdown(wait=False)
 
-    def _run_epoch(self, epoch: int, schema_events: list, stats: dict):
-        data = self._events().filter((F.col("epoch") == epoch) & (F.col("op") != "S"))
-        bounds = [r["event_lsn"] for r in schema_events]
-        seg = 0
-        lo = None
-        for i, b in enumerate(bounds + [None]):
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (F.col("event_lsn") > lo)
-            if b is not None:
-                cond = cond & (F.col("event_lsn") < b)
-            yield self._apply_data_segment(
-                epoch, seg, data.filter(cond), stats.get((epoch, seg))
-            )
-            seg += 1
-            if b is not None:
-                yield self._apply_schema_event(epoch, seg, schema_events[i])
-                seg += 1
-                lo = b
-
-    def _apply_data_segment(self, epoch: int, seg: int, events: DataFrame, stats) -> dict:
+    def _apply_data_segment(self, epoch: int, seg: int, lo, hi, stats,
+                            prepared: DataFrame | None = None) -> dict:
         epoch_key = f"{epoch}:{seg}"
         t0 = time.monotonic()
         if epoch_key in self.table.applied_epochs():
+            if prepared is not None:
+                prepared.unpersist()
             return {"epoch_key": epoch_key, "skipped": True}
+        events = self._segment_events(epoch, lo, hi)
         n_events = int(stats["n_events"]) if stats is not None else 0
         lineage = {
             "min_lsn": int(stats["min_lsn"]) if stats is not None else None,
@@ -182,11 +252,18 @@ class ReplayRunner:
         if self.sink == "arrow":
             # LWW + re-delivery dedup happen inside the bucket fold; the
             # JVM side is scan -> project -> one shuffle
-            changes = plan_changeset(events, self.table, keep_cols=["event_lsn"])
-            result = self.table.merge_arrow(
-                changes, epoch_key=epoch_key, lsn_col="event_lsn",
-                lineage=lineage, touched_buckets=touched,
-            )
+            if prepared is not None:
+                result = self.table.merge_arrow(
+                    prepared, epoch_key=epoch_key, lsn_col="event_lsn",
+                    lineage=lineage, touched_buckets=touched, prepared=True,
+                )
+                prepared.unpersist()
+            else:
+                changes = plan_changeset(events, self.table, keep_cols=["event_lsn"])
+                result = self.table.merge_arrow(
+                    changes, epoch_key=epoch_key, lsn_col="event_lsn",
+                    lineage=lineage, touched_buckets=touched,
+                )
         else:
             if self.use_pandas_lww:
                 reducer = lww_reduce_pandas

@@ -1,0 +1,104 @@
+"""Per-round benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+- headline analytic/training-data queries from __spark_entry__ at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), each forced with a
+  noop write;
+- the engine's own headline number: CDC binlog replay throughput
+  (events/sec, generated in-session, warmed, arrow sink) reported both
+  as a timed "query" and as `replay_events_per_sec`.
+
+Scaling evidence (N vs 4N executors) lives in BENCH/BASELINE.md and is
+produced by tools/run_scaling_bench.sh (too slow for per-round runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cdc_lww_snapshot", "pricing_summary", "shipping_priority", "region_revenue",
+    "order_priority", "sessionization", "daily_rollup", "top_users",
+    "exact_dedup", "ngram_jaccard", "minhash_lsh", "text_profile",
+    "doc_fingerprint", "ann_topk", "closure", "fk_guard_kept",
+    "composite_key", "date_normalize",
+]
+
+REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "2000000"))
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from agr_loader_spark.generator import generate_binlog
+    from agr_loader_spark.lake.table import LakeTable
+    from agr_loader_spark.schema import TOKENS_MERGE_KEY, TOKENS_TABLE_COLUMNS
+    from agr_loader_spark.session import get_spark
+    from agr_loader_spark.streaming.runner import ReplayRunner
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    def run_once(name: str) -> None:
+        # build + execute: some operators (closure fixpoint) do eager work
+        # at construction, so both phases belong inside the timing
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    for name in HEADLINE:
+        run_once(name)  # warm (plan + JIT + IO cache)
+        t0 = time.monotonic()
+        run_once(name)
+        times[name] = round(time.monotonic() - t0, 3)
+
+    # CDC replay throughput (the BASELINE.json headline metric, bench-sized)
+    work = tempfile.mkdtemp(prefix="bench_replay_")
+    try:
+        binlog = os.path.join(work, "binlog")
+        generate_binlog(spark, n_events=REPLAY_EVENTS, n_docs=REPLAY_EVENTS // 10,
+                        epoch_size=max(REPLAY_EVENTS // 4, 1),
+                        seed=42).write.partitionBy("epoch").parquet(binlog)
+        # warmup pass
+        wt = LakeTable.create(spark, os.path.join(work, "warm"), TOKENS_TABLE_COLUMNS,
+                              key=TOKENS_MERGE_KEY, n_buckets=64)
+        ReplayRunner(spark, wt, source_df=generate_binlog(
+            spark, n_events=300_000, n_docs=30_000, epoch_size=150_000, seed=7)).run()
+        table = LakeTable.create(spark, os.path.join(work, "tokens"),
+                                 TOKENS_TABLE_COLUMNS, key=TOKENS_MERGE_KEY, n_buckets=64)
+        runner = ReplayRunner(spark, table, source_path=binlog)
+        t0 = time.monotonic()
+        metrics = runner.run()
+        wall = time.monotonic() - t0
+        n_events = sum(m.get("n_events", 0) for m in metrics if not m.get("skipped"))
+        times["cdc_replay"] = round(wall, 3)
+        replay_eps = round(n_events / wall, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    out = {
+        "metric": "headline query wall + CDC replay throughput",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "replay_events": n_events,
+        "replay_events_per_sec": replay_eps,
+        "cores": cores,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
