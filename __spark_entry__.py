@@ -211,6 +211,13 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ joins / guards / keys
 
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.similarity import cosine_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.4)
+
+
 def q_fk_guard_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agr_loader_spark.operators.fk_guard import fk_guard
 
@@ -373,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
+        "cosine_near_dup": q_cosine_near_dup,
         "fk_guard_kept": q_fk_guard_kept,
         "reject_tally": q_reject_tally,
         "closure": q_closure,
@@ -525,6 +533,18 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
         SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 5
+    """
+    sql["cosine_near_dup"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cos_sim
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                    6) >= 0.4
     """
     sql["fk_guard_kept"] = """
         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders

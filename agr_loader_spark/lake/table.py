@@ -212,6 +212,7 @@ class LakeTable:
         epoch_key: str,
         lineage: dict | None = None,
         touched_buckets: Sequence[int] | None = None,
+        mode: str = "lww",  # "lww" | "insert_if_absent" (first-writer-wins)
     ) -> dict:
         """Apply one micro-batch changeset atomically, exactly once.
 
@@ -263,17 +264,23 @@ class LakeTable:
         )
         existing = self.read(buckets=touched)
         joined = existing.join(s, existing[self.key] == s["__s_key"], "full_outer")
-        # row survives unless its latest op is a delete; changed rows take
-        # the source payload (MERGE WHEN MATCHED UPDATE SET * semantics)
+        # row survives unless its latest op is a delete; in 'lww' mode a
+        # changed row takes the source payload (MERGE WHEN MATCHED UPDATE
+        # SET *, src/etl/allele_etl.py:142-144); in 'insert_if_absent'
+        # mode the existing payload wins (the reference's default
+        # MERGE ... ON CREATE SET, src/etl/bgi_etl.py:99-115 — first
+        # writer wins, later re-sends are no-ops)
+        if mode == "insert_if_absent":
+            def pick(c):
+                return (F.when(F.col(self.key).isNotNull(), F.col(c.name))
+                        .otherwise(F.col(f"__s_{c.name}")).alias(c.name))
+        else:
+            def pick(c):
+                return (F.when(F.col(OP_COL).isNull(), F.col(c.name))
+                        .otherwise(F.col(f"__s_{c.name}")).alias(c.name))
         merged = joined.filter(F.col(OP_COL).isNull() | (F.col(OP_COL) == "U")).select(
             F.coalesce(F.col(self.key), F.col("__s_key")).alias(self.key),
-            *[
-                F.when(F.col(OP_COL).isNull(), F.col(c.name))
-                .otherwise(F.col(f"__s_{c.name}"))
-                .alias(c.name)
-                for c in cur
-                if c.name != self.key
-            ],
+            *[pick(c) for c in cur if c.name != self.key],
         ).select(*[c.name for c in cur])
         new_state = merged.withColumn(BUCKET_COL, self._bucket_expr(F.col(self.key)))
 
@@ -522,6 +529,22 @@ class LakeTable:
         _atomic_write(os.path.join(self.root, "snapshots", f"{sid}.json"),
                       json.dumps(manifest, indent=1, default=str))
         _atomic_write(os.path.join(self.root, "_current"), str(sid))
+
+    def at_snapshot(self, snapshot_id: int) -> "LakeTable":
+        """Time travel: a read view of the table as of an earlier commit
+        (Iceberg VERSION AS OF). Every snapshot manifest is immutable, so
+        this is just loading the old manifest; the returned table shares
+        data files and must not be written to."""
+        path = os.path.join(self.root, "snapshots", f"{snapshot_id}.json")
+        with open(path) as f:
+            return LakeTable(self.spark, self.root, json.load(f))
+
+    def snapshot_for_epoch(self, epoch_key: str) -> int | None:
+        """Lineage lookup: the snapshot a given micro-batch committed."""
+        for lin in self._m["lineage"]:
+            if lin.get("epoch_key") == epoch_key:
+                return int(lin["snapshot_id"])
+        return None
 
     def history(self) -> list[dict]:
         out = []

@@ -89,6 +89,35 @@ def test_merge_after_rename_routes_by_src_field(spark, tmproot):
     assert got == {"a": "FB", "b": "WB"}
 
 
+def test_insert_if_absent_mode(spark, tmproot):
+    """First-writer-wins (reference default MERGE ON CREATE SET)."""
+    t = _mk(spark, tmproot)
+    t.merge(_changes(spark, [("a", [1], 1, "FB", "U")]), "0:0", mode="insert_if_absent")
+    t.merge(_changes(spark, [("a", [999], 1, "WB", "U"), ("b", [2], 1, "WB", "U")]),
+            "1:0", mode="insert_if_absent")
+    rows = {r["doc_id"]: r.asDict() for r in t.read().collect()}
+    assert rows["a"]["tokens"] == [1] and rows["a"]["source"] == "FB"  # first writer kept
+    assert rows["b"]["tokens"] == [2]
+    # deletes still apply in FWW mode (K7)
+    t.merge(_changes(spark, [("a", None, None, None, "D")]), "2:0", mode="insert_if_absent")
+    assert {r["doc_id"] for r in t.read().collect()} == {"b"}
+
+
+def test_time_travel_and_lineage_lookup(spark, tmproot):
+    t = _mk(spark, tmproot)
+    t.merge(_changes(spark, [("a", [1], 1, "FB", "U")]), "0:0")
+    sid1 = t.snapshot_id
+    t.merge(_changes(spark, [("a", [2], 1, "FB", "U"), ("b", [3], 1, "WB", "U")]), "1:0")
+    # current state
+    assert {r["doc_id"]: r["tokens"] for r in t.read().collect()} == {"a": [2], "b": [3]}
+    # as-of earlier snapshot
+    old = t.at_snapshot(sid1)
+    assert {r["doc_id"]: r["tokens"] for r in old.read().collect()} == {"a": [1]}
+    # lineage: epoch -> snapshot
+    assert t.snapshot_for_epoch("0:0") == sid1
+    assert t.at_snapshot(t.snapshot_for_epoch("1:0")).read().count() == 2
+
+
 def test_key_uniqueness_invariant(spark, tmproot):
     t = _mk(spark, tmproot)
     for e in range(3):
