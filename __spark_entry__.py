@@ -218,6 +218,24 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(e, threshold=0.4)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: for every event, the value of the user's
+    latest 'signup' event at-or-before its timestamp (custom as-of
+    operator; oracle = DuckDB ASOF LEFT JOIN)."""
+    from agr_loader_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    out = asof_join(ev, signups, key="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["signup_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("asof_signup_value", 6).alias("last_signup_value"),
+    )
+
+
 def q_fk_guard_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agr_loader_spark.operators.fk_guard import fk_guard
 
@@ -381,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
         "cosine_near_dup": q_cosine_near_dup,
+        "asof_join": q_asof_join,
         "fk_guard_kept": q_fk_guard_kept,
         "reject_tally": q_reject_tally,
         "closure": q_closure,
@@ -533,6 +552,14 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
         SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 5
+    """
+    sql["asof_join"] = """
+        SELECT e.event_id, e.user_id,
+               round(s.value, 6) AS last_signup_value
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.ts
     """
     sql["cosine_near_dup"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

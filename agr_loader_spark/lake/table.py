@@ -530,6 +530,46 @@ class LakeTable:
                       json.dumps(manifest, indent=1, default=str))
         _atomic_write(os.path.join(self.root, "_current"), str(sid))
 
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Maintenance (Iceberg expire_snapshots analog): delete manifest
+        files and data directories referenced ONLY by snapshots older
+        than the last ``keep_last``. Time travel to expired snapshots
+        stops working (as in Iceberg); applied_epochs/lineage live in the
+        current manifest, so exactly-once is unaffected."""
+        import shutil
+
+        chain = []
+        sid = self.snapshot_id
+        while sid is not None:
+            with open(os.path.join(self.root, "snapshots", f"{sid}.json")) as f:
+                m = json.load(f)
+            chain.append(m)
+            sid = m["parent"]
+        keep = chain[:keep_last]
+        expire = chain[keep_last:]
+        live_files = {
+            fe["path"] for m in keep for fs in m["buckets"].values() for fe in fs
+        }
+        live_dirs = {p.split(os.sep)[1] for p in live_files if p.startswith("data")}
+        removed_snapshots, removed_dirs = 0, 0
+        for m in expire:
+            os.remove(os.path.join(self.root, "snapshots", f"{m['snapshot_id']}.json"))
+            removed_snapshots += 1
+        data_root = os.path.join(self.root, "data")
+        for d in os.listdir(data_root):
+            if d not in live_dirs:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                removed_dirs += 1
+        # keep the chain walkable: the oldest kept snapshot becomes a root
+        if expire and keep:
+            oldest = keep[-1]
+            oldest["parent"] = None
+            _atomic_write(
+                os.path.join(self.root, "snapshots", f"{oldest['snapshot_id']}.json"),
+                json.dumps(oldest, indent=1, default=str),
+            )
+        return {"removed_snapshots": removed_snapshots, "removed_data_dirs": removed_dirs}
+
     def at_snapshot(self, snapshot_id: int) -> "LakeTable":
         """Time travel: a read view of the table as of an earlier commit
         (Iceberg VERSION AS OF). Every snapshot manifest is immutable, so
