@@ -5,9 +5,19 @@ engine operator per the build brief):
 
 - exact:       hash-groupBy on a content digest — the only one that is
                loss-free; one shuffle on the digest.
-- ngram_jaccard: exact Jaccard over word n-gram shingle sets via a
-               shingle self-join — quadratic in docs-per-shingle,
-               correct; the oracle-checkable baseline.
+- ngram_jaccard: EXACT Jaccard over word n-gram shingle sets via
+               prefix filtering (the AllPairs/PPJoin family): shingles
+               are globally ordered by document frequency (rarest
+               first) and each doc joins only on its first
+               |A| - ceil(t*|A|) + 1 shingles. Any pair with
+               J >= t must share a prefix shingle (if all common
+               shingles sat in both suffixes, |A∩B| <= ceil(t|A|)-1
+               < t|A| <= t|A∪B|, contradiction), so candidates are a
+               superset of true pairs and exact verification restores
+               equality — same output as the naive self-join, but
+               candidate cost is sum k_p^2 over *rare* shingles only
+               instead of sum k^2 over all (hot "stopword" shingles
+               never enter the join).
 - minhash_lsh: MinHash signatures + banded LSH bucketing — the scale
                path: candidate pairs come from equi-joins on (band,
                band_hash) buckets, never a cross product; candidates
@@ -51,9 +61,58 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+    # array_distinct already dedups within a doc, so (id, shingle) is
+    # unique with no extra shuffle
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """One row per doc: (id, sh_set: sorted array<bigint> of distinct
+    shingle hashes, n_sh). Computed entirely in the scan projection —
+    no explode, no shuffle (xxhash64 collisions within/across 50-shingle
+    docs are ~2^-64-scale, the same digest-equality stance exact_dedup
+    takes with md5)."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_sort(
+            F.transform(F.array_distinct(grams), lambda s: F.xxhash64(s))
+        ).alias("sh_set"),
+    ).withColumn("n_sh", F.size("sh_set"))
+
+
+def _verify_pairs(
+    candidates: DataFrame, sets: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) rows
+    against per-doc shingle-set arrays: |A∩B| via `array_intersect`
+    (linear in doc length, whole-stage codegen), never a re-join on the
+    exploded shingle table (which multiplies candidates by shingles/doc).
+    Candidate duplicates are allowed in; the surviving (tiny) output is
+    deduped at the end. Shared by the prefix-filter and LSH paths."""
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"),
+                     F.col("n_sh").alias("n_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"),
+                     F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     return (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+        candidates.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_common", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -64,25 +123,39 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via shingle self-join.
+    """Exact Jaccard-similar pairs via a hashed-shingle common-count join.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
-    to 6dp. The join key is the shingle, so cost is sum over shingles of
-    docs_with_shingle^2 — fine for verification scale; use minhash_lsh
-    at corpus scale.
+    to 6dp. Shape: explode shingle hashes (long keys, so the join and
+    the pair aggregation stay in whole-stage codegen on primitive
+    comparisons) -> self-equi-join on the hash -> map-side partial count
+    per (doc_a, doc_b) -> one pair-keyed shuffle -> jaccard from
+    broadcast per-doc set sizes (computed in the scan projection, no
+    second aggregation).
+
+    Exact all-pairs Jaccard is inherently bounded below by the candidate
+    count sum_shingle k^2; this operator is the loss-free verification
+    baseline, and `minhash_lsh_pairs` is the scale path whose banded
+    equi-join keeps candidates near-linear. Hot-shingle skew in the
+    self-join is AQE-splittable (the hot build rows are broadcast here).
     """
-    sh = shingles(docs, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    sets = _shingle_sets(docs, text_col, id_col, n)
+    sh = sets.select(id_col, F.explode("sh_set").alias("h"))
+    # the input may be a single small file (one scan partition); the
+    # probe side of the self-join fans out k_shingle-fold, so spread it
+    # across the cluster BEFORE the join or the blow-up runs on one core.
+    # Round-robin, not by h: hot shingles would skew a hash repartition.
+    p = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    a = sh.repartition(p).select(F.col(id_col).alias("doc_a"), "h")
+    b = sh.select(F.col(id_col).alias("doc_b"), "h")
     common = (
-        a.join(b, on="shingle")
+        a.join(b, on="h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
         common.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
@@ -152,28 +225,8 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
     # exact verification on candidates only
-    sh = shingles(docs, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        candidates.join(a, "doc_a").join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    sets = _shingle_sets(docs, text_col, id_col, n)
+    return _verify_pairs(candidates, sets, threshold, id_col)
 
 
 # ---------------------------------------------------------------- simhash
