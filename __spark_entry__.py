@@ -372,6 +372,34 @@ def q_url_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-access sequence slicing via the chunked-contig range join
+    (SURVEY.md S10/T15 — pyfaidx slice + flank clamp,
+    src/etl/helpers/assembly_sequence_helper.py:59-73). The Spark side
+    MUST reassemble from 64-char chunks; the oracle slices the intact
+    string — value equality proves the chunked reassembly exact."""
+    from agr_loader_spark.operators.sequence import chunk_contigs, slice_intervals
+
+    docs = _t(spark, sf_dir, "documents")
+    contigs = docs.select(F.col("doc_id").alias("contig"), F.col("text").alias("seq"))
+    chunks = chunk_contigs(contigs, chunk_size=64, id_col="contig", seq_col="seq")
+    start = (
+        F.lit(1)
+        + (F.col("n_chars") * 7) % F.greatest(F.col("n_chars") - 60, F.lit(1))
+    ).cast("int")
+    iv = docs.select(
+        F.col("doc_id").alias("interval_id"),
+        F.col("doc_id").alias("contig"),
+        start.alias("start_pos"),
+        "n_chars",
+    ).withColumn(
+        "end_pos", F.least(F.col("start_pos") + 59, F.col("n_chars")).cast("int")
+    ).drop("n_chars")
+    return slice_intervals(
+        chunks, iv, chunk_size=64, start_col="start_pos", end_col="end_pos"
+    ).select("interval_id", "start_pos", "end_pos", "seq")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -410,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xref_resolve": q_xref_resolve,
         "count_regression": q_count_regression,
         "url_template": q_url_template,
+        "sequence_slice": q_sequence_slice,
     }
 
 
@@ -653,5 +682,17 @@ def oracle_sql() -> dict[str, str]:
                     ELSE strftime(date_trunc('day', o_orderdate), '%Y-%m-%dT%H:%M:%SZ')
                END AS norm_date
         FROM orders
+    """
+    sql["sequence_slice"] = """
+        WITH iv AS (
+            SELECT doc_id AS interval_id,
+                   CAST(1 + (n_chars * 7) % greatest(n_chars - 60, 1) AS INT) AS start_pos,
+                   n_chars, text
+            FROM documents)
+        SELECT interval_id, start_pos,
+               CAST(least(start_pos + 59, n_chars) AS INT) AS end_pos,
+               substr(text, start_pos,
+                      CAST(least(start_pos + 59, n_chars) AS INT) - start_pos + 1) AS seq
+        FROM iv
     """
     return sql

@@ -73,8 +73,14 @@ class ReplayRunner:
         if self.source_df is not None:
             return self.source_df
         # epoch-partitioned parquet: the epoch filter below prunes to one
-        # partition directory (no full-log scan per micro-batch).
-        return self.spark.read.parquet(self.source_path)
+        # partition directory (no full-log scan per micro-batch). The
+        # relation is built ONCE — a fresh read() per segment would
+        # re-list the log directory and re-read parquet footers on every
+        # micro-batch commit (driver-side fixed cost that scales with
+        # log size, deadly on object stores).
+        if getattr(self, "_source_rel", None) is None:
+            self._source_rel = self.spark.read.parquet(self.source_path)
+        return self._source_rel
 
     def list_epochs(self) -> list[int]:
         return [
@@ -118,9 +124,10 @@ class ReplayRunner:
                 F.count("*").alias("n_events"),
                 F.min("event_lsn").alias("min_lsn"),
                 F.max("event_lsn").alias("max_lsn"),
-                # metrics-only: approx avoids a full (doc, lsn) dedup shuffle
+                # metrics-only: approx avoids a full (doc, lsn) dedup
+                # shuffle; hash the pair instead of building a string
                 F.approx_count_distinct(
-                    F.concat_ws(":", "doc_id", "event_lsn")
+                    F.xxhash64("doc_id", "event_lsn")
                 ).alias("n_unique"),
                 F.collect_set(self.table._bucket_expr(F.col("doc_id"))).alias("buckets"),
             )

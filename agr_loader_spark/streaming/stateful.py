@@ -1,0 +1,97 @@
+"""Stateful streaming LWW compactor — applyInPandasWithState.
+
+The batch engine dedups/LWW-reduces each micro-batch against the lake's
+stored state (lake/arrow_merge.py). When the consumer is another STREAM
+(not a table), the same semantics need per-key state carried across
+micro-batches: this operator turns an at-least-once, out-of-order,
+duplicate-bearing change feed into a compacted changelog that emits a
+key only when its winning (max-lsn) event actually advances.
+
+Reference analog: the cross-batch dedup memo the reference keeps in
+driver memory to avoid re-emitting xrefs
+(src/etl/molecular_interaction_etl.py:296-302, 614-620) — here the memo
+is Spark-managed keyed state (checkpointed, partitioned, recoverable)
+instead of a Python list on one box, and the fold inside each group is
+vectorized pandas (north rule: no per-row Python).
+
+Scale: state is hash-partitioned by key across executors; each
+micro-batch shuffles only its own events. State size is O(live keys) —
+bound it with delete events ('D' clears state) or a TTL timeout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# emitted changelog row
+OUTPUT_SCHEMA = (
+    "doc_id string, event_lsn long, op string, tokens array<int>, "
+    "n_tok int, source string"
+)
+# carried state: the winning event so far
+STATE_SCHEMA = "event_lsn long, op string, tokens array<int>, n_tok int, source string"
+
+
+def _fold(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    doc_id = key[0]
+    best_lsn, best = -1, None
+    for pdf in pdfs:
+        i = int(pdf["event_lsn"].idxmax())  # vectorized argmax per batch
+        lsn = int(pdf["event_lsn"].iloc[i])
+        if lsn > best_lsn:
+            best_lsn = lsn
+            row = pdf.iloc[i]
+            best = (
+                lsn,
+                str(row["op"]),
+                # plain-int list: numpy scalars don't survive the state
+                # (un)pickling across the JVM boundary
+                None if row["tokens"] is None else [int(x) for x in row["tokens"]],
+                None if pd.isna(row["n_tok"]) else int(row["n_tok"]),
+                None if row["source"] is None else str(row["source"]),
+            )
+    if best is None:
+        return
+    if state.exists:
+        (prev_lsn,) = state.get[:1]
+        if best_lsn <= prev_lsn:
+            return  # stale re-delivery: nothing advances, emit nothing
+    if best[1] == "D":
+        # a delete wins: emit the tombstone and clear state (bounds state size)
+        state.remove()
+    else:
+        state.update(best)
+    yield pd.DataFrame(
+        {
+            "doc_id": [doc_id],
+            "event_lsn": [best[0]],
+            "op": [best[1]],
+            "tokens": [best[2]],
+            "n_tok": [best[3]],
+            "source": [best[4]],
+        }
+    )
+
+
+def latest_state_stream(events: DataFrame) -> DataFrame:
+    """events: a STREAMING DataFrame with (doc_id, event_lsn, op, tokens,
+    n_tok, source). Returns the compacted changelog stream: one row per
+    (trigger, key) whose winning event advanced past the stored state;
+    deletes emit a tombstone row (op='D') and drop the key's state."""
+    return (
+        events.select("doc_id", "event_lsn", "op", "tokens", "n_tok", "source")
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -6,7 +6,7 @@ cd /root/repo
 export SPARK_LOCAL_DIRS_OVERRIDE=/tmp/spark_local SPARK_DRIVER_MEM=8g SPARK_BCAST_THRESHOLD=10m
 OUT=BENCH/scaling_final.jsonl
 : > $OUT
-LOG=/tmp/scalbench/binlog
+LOG=/tmp/scalbench/binlog12
 for rep in 1 2 3; do
   for e in 1 4; do
     rm -rf /tmp/scalbench/fin_${e}_${rep}
