@@ -31,7 +31,12 @@ HEADLINE = [
     "composite_key", "date_normalize",
 ]
 
-REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "2000000"))
+# 4M events, 2M-event commit interval: small enough for a per-round run,
+# large enough that the per-commit fixed floor (~1.3 s: python-stage
+# round-trip + plan + manifest) stays <15% of segment wall — the regime a
+# 10^10-event replay with >=100M-event commit intervals actually runs in.
+# Interval sensitivity is documented in BENCH/BASELINE.md.
+REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "4000000"))
 
 
 def main() -> int:
@@ -66,7 +71,7 @@ def main() -> int:
     try:
         binlog = os.path.join(work, "binlog")
         generate_binlog(spark, n_events=REPLAY_EVENTS, n_docs=REPLAY_EVENTS // 10,
-                        epoch_size=max(REPLAY_EVENTS // 4, 1),
+                        epoch_size=max(REPLAY_EVENTS // 2, 1),
                         seed=42).write.partitionBy("epoch").parquet(binlog)
         # warmup pass
         wt = LakeTable.create(spark, os.path.join(work, "warm"), TOKENS_TABLE_COLUMNS,
