@@ -570,6 +570,82 @@ class LakeTable:
             )
         return {"removed_snapshots": removed_snapshots, "removed_data_dirs": removed_dirs}
 
+    def lookup(self, keys: Sequence) -> DataFrame:
+        """Point lookup: read ONLY the buckets the keys hash into —
+        O(|keys| * state/n_buckets) I/O, never a full-table scan. The
+        analog of the reference's indexed `MATCH {primaryKey: ...}`
+        probes (uniqueness-constraint index,
+        src/etl/helpers/neo4j_helper.py:59-126); here the "index" is the
+        bucket layout itself."""
+        probe = self.spark.createDataFrame(
+            [(k,) for k in keys], f"{self.key} {dict((c.name, c.type) for c in self.columns())[self.key]}"
+        )
+        buckets = [
+            r[0] for r in probe.select(self._bucket_expr(F.col(self.key)).alias("b"))
+            .distinct().collect()
+        ]
+        vals = [r[0] for r in probe.collect()]
+        return self.read(buckets=buckets).filter(F.col(self.key).isin(vals))
+
+    def changes_between(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
+        """Incremental changelog scan (Iceberg CDC-read analog): the NET
+        per-key change between two committed snapshots, as rows shaped
+        (__op in {'I','U','D'}, <current columns of the TO snapshot>).
+
+        Scale: buckets whose manifest file lists are identical in both
+        snapshots are skipped entirely (metadata-only pruning), so the
+        diff reads O(changed buckets), not O(state). Old-snapshot rows
+        are projected onto the TO schema by field id, so the diff is
+        well-defined across schema evolution.
+        """
+        t_from = self.at_snapshot(from_snapshot)
+        t_to = self.at_snapshot(to_snapshot)
+        changed = [
+            b for b in set(t_from._m["buckets"]) | set(t_to._m["buckets"])
+            if t_from._m["buckets"].get(b) != t_to._m["buckets"].get(b)
+        ]
+        cur = t_to.columns()
+        to_types = {c.name: c.type for c in cur}
+        # project the FROM state onto the TO schema by field id
+        from_by_id = {c.id: c for c in t_from.columns()}
+        old = t_from.read(buckets=changed).select(
+            *[
+                (F.col(from_by_id[c.id].name) if c.id in from_by_id
+                 else F.lit(None)).cast(c.type).alias(c.name)
+                for c in cur
+            ]
+        )
+        new = t_to.read(buckets=changed)
+        names = [c.name for c in cur]
+        non_key = [n for n in names if n != self.key]
+        o = old.select(
+            F.col(self.key).alias("__o_key"),
+            *[F.col(n).alias(f"__o_{n}") for n in non_key],
+        )
+        j = new.join(o, new[self.key] == o["__o_key"], "full_outer")
+        same = F.xxhash64(*[F.col(n) for n in non_key]) == F.xxhash64(
+            *[F.col(f"__o_{n}") for n in non_key]
+        )
+        op = (
+            F.when(F.col("__o_key").isNull(), F.lit("I"))
+            .when(F.col(self.key).isNull(), F.lit("D"))
+            .when(same, F.lit(None))  # unchanged -> dropped below
+            .otherwise(F.lit("U"))
+        )
+        return (
+            j.select(
+                op.alias(OP_COL),
+                F.coalesce(F.col(self.key), F.col("__o_key")).alias(self.key),
+                # deletes carry the OLD payload (tombstone with last value)
+                *[
+                    F.when(F.col(self.key).isNull(), F.col(f"__o_{n}"))
+                    .otherwise(F.col(n)).cast(to_types[n]).alias(n)
+                    for n in non_key
+                ],
+            )
+            .filter(F.col(OP_COL).isNotNull())
+        )
+
     def at_snapshot(self, snapshot_id: int) -> "LakeTable":
         """Time travel: a read view of the table as of an earlier commit
         (Iceberg VERSION AS OF). Every snapshot manifest is immutable, so

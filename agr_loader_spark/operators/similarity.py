@@ -163,3 +163,129 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------- IVF
+def _normalize(vec) -> F.Column:
+    v = F.transform(vec, lambda x: x.cast("double"))
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(v, lambda x: x / n)
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means on unit-normalized vectors (the IVF
+    coarse quantizer). Init = the n_centroids rows with the smallest
+    xxhash64(id) (a seedless deterministic sample); each iteration is
+    assign (broadcast centroids, argmin by window) + element-wise mean
+    (posexplode -> groupBy(cluster, pos) -> re-assemble). All JVM.
+    Returns (cluster, centroid: array<double>)."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("__id"), _normalize(F.col(vec_col)).alias("__v")
+    ).localCheckpoint(eager=True)
+    centroids = (
+        vecs.orderBy(F.xxhash64(F.col("__id")))
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(F.xxhash64(F.col("__id")))).alias("cluster"),
+            F.col("__v").alias("centroid"),
+        )
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _assign_to_centroid(vecs, centroids)
+        centroids = (
+            assigned.join(vecs, "__id")
+            .select("cluster", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("centroid")
+            )
+            .select("cluster", _normalize(F.col("centroid")).alias("centroid"))
+        ).localCheckpoint(eager=True)
+    return centroids
+
+
+def _assign_to_centroid(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(__id, cluster) of the nearest centroid; on unit vectors max-dot
+    == min-L2, ties broken by cluster id."""
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("centroid"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "__id", "cluster", dot.alias("dot")
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("dot"), F.asc("cluster"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "cluster")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    n_centroids inverted lists, probe the nprobe nearest lists per
+    query, exact-cosine re-rank inside them. Output matches
+    brute_force_topk's shape (query_id, neighbor_id, cos_sim, rank) and
+    EQUALS it when nprobe == n_centroids (probing every list makes the
+    re-rank exhaustive — tested).
+
+    Scale: the corpus-side work is one equi-join on `cluster` (the
+    inverted-list probe) — candidates are |corpus| * nprobe/n_centroids
+    per query on balanced lists, never a cross product; list skew is
+    AQE-splittable. Centroids broadcast (n_centroids rows).
+    """
+    centroids = train_ivf_centroids(embeddings, n_centroids, iters, id_col, vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("__id"), _normalize(F.col(vec_col)).alias("__v")
+    )
+    lists = _assign_to_centroid(corpus, centroids).withColumnRenamed("__id", "neighbor_id")
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _normalize(F.col(vec_col)).alias("__v")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("centroid"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cluster"))
+    probes = (
+        qv.crossJoin(F.broadcast(centroids))
+        .select("query_id", "cluster", dot.alias("dot"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    cand = probes.join(lists, "cluster").filter(F.col("query_id") != F.col("neighbor_id"))
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    qfull = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(F.broadcast(qfull), "query_id")
+        .join(e, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -28,7 +28,7 @@ HEADLINE = [
     "order_priority", "sessionization", "daily_rollup", "top_users",
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "text_profile",
     "doc_fingerprint", "ann_topk", "closure", "fk_guard_kept",
-    "composite_key", "date_normalize",
+    "composite_key", "date_normalize", "sequence_slice",
 ]
 
 # 4M events, 2M-event commit interval: small enough for a per-round run,

@@ -8,7 +8,7 @@ cd /root/repo
 export SPARK_LOCAL_DIRS_OVERRIDE=/tmp/spark_local SPARK_DRIVER_MEM=8g SPARK_BCAST_THRESHOLD=10m
 OUT=BENCH/scaling_raw.jsonl
 : > $OUT
-LOG=/tmp/scalbench/binlog12
+LOG=/tmp/scalbench/binlog6
 mkdir -p /tmp/scalbench
 
 if [ ! -d $LOG ]; then
@@ -17,7 +17,7 @@ from agr_loader_spark.session import get_spark
 from agr_loader_spark.generator import generate_binlog
 spark = get_spark(cores=16, master="local[16]")
 generate_binlog(spark, n_events=24_000_000, n_docs=2_400_000,
-                epoch_size=12_000_000, seed=42).write.partitionBy("epoch").parquet("/tmp/scalbench/binlog12")
+                epoch_size=6_000_000, seed=42).write.partitionBy("epoch").parquet("/tmp/scalbench/binlog6")
 spark.stop()
 EOF
 fi
