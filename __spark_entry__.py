@@ -278,7 +278,12 @@ def q_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agr_loader_spark.functions.dates import normalize_date
 
-    o = _t(spark, sf_dir, "orders")
+    # the format-cascade parse is pure per-row CPU; the sf fixture is one
+    # small file (one scan partition), so fan out first — at production
+    # scale splittable inputs provide this parallelism for free
+    o = _t(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     raw = (
         F.when(F.col("o_orderkey") % 10 == 0, F.lit("not-a-date"))
         .when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
