@@ -49,6 +49,30 @@ def closure_pass(
     return out
 
 
+def incremental_closure_pass(
+    spark: SparkSession,
+    out: LakeTable,
+    new_edges: DataFrame,
+    epoch_key: str,
+) -> dict:
+    """Incremental derived-view maintenance: fold a batch of NEW ontology
+    edges into an existing closure table using `closure_delta` — only
+    the newly reachable pairs are computed and merged, never a full
+    recompute. This is the CDC-native upgrade of the reference's
+    second-pass ClosureETL (src/etl/closure_etl.py:37-45), which rebuilds
+    the closure from scratch every load. Deletes require the full
+    `closure_pass` rebuild (DRed trade-off, see closure_delta)."""
+    from .operators.closure import closure_delta
+
+    existing = out.read().select("descendant_id", "ancestor_id")
+    delta = closure_delta(existing, new_edges).withColumn(
+        "pair_key", composite_key("descendant_id", "ancestor_id")
+    )
+    changes = delta.select("pair_key", "descendant_id", "ancestor_id",
+                           F.lit("U").alias(OP_COL))
+    return out.merge(changes, epoch_key=epoch_key)
+
+
 def goslim_rollup(
     terms: DataFrame,
     closure: DataFrame,

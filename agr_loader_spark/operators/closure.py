@@ -82,3 +82,59 @@ def transitive_closure(
     else:
         raise RuntimeError(f"closure did not converge in {max_iterations} iterations (cycle?)")
     return closure
+
+
+def _compose(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Relational composition: (d, m) ∘ (m, a) -> (d, a)."""
+    right = b.select(
+        F.col("descendant_id").alias("__m"), F.col("ancestor_id").alias("__a")
+    )
+    return (
+        a.join(right, a["ancestor_id"] == right["__m"])
+        .select("descendant_id", F.col("__a").alias("ancestor_id"))
+    )
+
+
+def closure_delta(
+    closure: DataFrame,
+    new_edges: DataFrame,
+    child_col: str = "child_id",
+    parent_col: str = "parent_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Incremental closure maintenance for edge INSERTS: the new
+    (descendant, ancestor) pairs created by adding ``new_edges`` to a
+    graph whose transitive closure is ``closure`` — without touching the
+    old edge set.
+
+    Each new path decomposes into Δ-edge segments padded by existing
+    closure hops, so ``ext = (C∪I)∘Δ∘(C∪I)`` covers every 1-Δ path and
+    composing ``ext`` with itself covers k-Δ paths; the loop runs once
+    per extra Δ edge on the longest new shortest-path (normally 1-2
+    rounds for an ontology update batch). Work is O(|Δ| * fan-out),
+    never O(closure) recompute. Deletes invalidate paths and need the
+    full recompute (`transitive_closure`) — the classic DRed trade-off.
+    """
+    delta = new_edges.select(
+        F.col(child_col).alias("descendant_id"), F.col(parent_col).alias("ancestor_id")
+    ).dropDuplicates()
+    # ext = Δ padded by existing reachability on both sides
+    ext = delta.unionByName(_compose(closure, delta))
+    ext = ext.unionByName(_compose(ext, closure)).dropDuplicates().localCheckpoint(eager=True)
+
+    anti = ["descendant_id", "ancestor_id"]
+    new = ext.join(closure, on=anti, how="left_anti").localCheckpoint(eager=True)
+    frontier = new
+    for _ in range(max_iterations):
+        nxt = (
+            _compose(frontier, ext)
+            .dropDuplicates()
+            .join(closure, on=anti, how="left_anti")
+            .join(new, on=anti, how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return new
+        new = new.unionByName(nxt)
+        frontier = nxt
+    raise RuntimeError(f"closure delta did not converge in {max_iterations} rounds (cycle?)")
