@@ -51,7 +51,8 @@ if TYPE_CHECKING:  # pragma: no cover
     from .table import ColumnSpec
 
 MANIFEST_SCHEMA = (
-    "bucket int, path string, n_rows long, n_upserts long, n_deletes long"
+    "bucket int, path string, n_rows long, n_upserts long, n_deletes long, "
+    "min_lsn long, max_lsn long"
 )
 
 _ARROW_TYPES = {
@@ -128,6 +129,10 @@ def make_bucket_fold(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf[bucket_col].iloc[0])
+        # per-partition lineage: the source-offset range this bucket
+        # absorbed in this micro-batch (north rule: offset -> snapshot)
+        b_min_lsn = int(pdf[lsn_col].min())
+        b_max_lsn = int(pdf[lsn_col].max())
         # exact re-delivery dedup: co-location guarantees all copies of a
         # (key, lsn) pair are in this group
         pdf = pdf.drop_duplicates(subset=[key, lsn_col])
@@ -170,6 +175,8 @@ def make_bucket_fold(
                                             - (len(state) if state is not None else 0))],
                                       dtype="int64"),
                 "n_deletes": pd.array([n_deletes_applied], dtype="int64"),
+                "min_lsn": pd.array([b_min_lsn], dtype="int64"),
+                "max_lsn": pd.array([b_max_lsn], dtype="int64"),
             }
         )
 

@@ -414,6 +414,7 @@ class LakeTable:
         sv = self._m["schema_version"]
         new_buckets = dict(self._m["buckets"])
         n_upserts = n_deletes = 0
+        per_bucket = {}
         for r in manifests:
             files = []
             if r["path"] is not None:
@@ -421,6 +422,11 @@ class LakeTable:
             new_buckets[str(int(r["bucket"]))] = files
             n_upserts += int(r["n_upserts"])
             n_deletes += int(r["n_deletes"])
+            # per-partition lineage: source-offset range absorbed by this
+            # bucket in this commit (north rule: offset -> snapshot id)
+            per_bucket[str(int(r["bucket"]))] = {
+                "min_lsn": int(r["min_lsn"]), "max_lsn": int(r["max_lsn"]),
+            }
 
         lin = dict(lineage or {})
         lin.update(
@@ -430,6 +436,7 @@ class LakeTable:
                 "n_upserts": n_upserts,
                 "n_deletes": n_deletes,
                 "buckets_touched": touched,
+                "per_bucket_offsets": per_bucket,
             }
         )
         m = self._child_manifest(new_sid, "merge-arrow", epoch_key)

@@ -81,6 +81,15 @@ def test_replay_matches_oracle(spark, tmproot, binlog, oracle_df, sink):
     spans = [(l["min_lsn"], l["max_lsn"]) for l in lineage
              if l.get("min_lsn") is not None]
     assert spans == sorted(spans) and all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    # per-PARTITION lineage: each touched bucket records the offset range
+    # it absorbed, bounded by the segment's own span
+    for l in lineage:
+        pb = l.get("per_bucket_offsets")
+        if not pb:
+            continue
+        assert set(pb) == {str(b) for b in l["buckets_touched"]}
+        for ofs in pb.values():
+            assert l["min_lsn"] <= ofs["min_lsn"] <= ofs["max_lsn"] <= l["max_lsn"]
 
 
 def test_resume_from_checkpoint_mid_stream(spark, tmproot, binlog, oracle_df):
