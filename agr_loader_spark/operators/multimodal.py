@@ -120,3 +120,55 @@ def repartition_for_decode(media: DataFrame, target_partitions: int) -> DataFram
     balance; at cluster scale pair with
     spark.sql.files.maxPartitionBytes to keep Arrow batches bounded."""
     return media.repartition(target_partitions, F.xxhash64("media_id"))
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, decode_stub: str = "fake"
+) -> DataFrame:
+    """Frame sampling for video payloads: each media row fans out into
+    <= n_frames (frame_idx, frame_ts_ms, frame bytes) rows, evenly
+    spaced across duration_ms. The fan-out happens INSIDE the Arrow
+    batch iterator (one input batch -> one larger output batch), never
+    by exploding a materialized frame array through the JVM — for real
+    video the frames are decoded on demand and the payload crosses the
+    worker boundary once. The decode is stubbed (deterministic byte
+    slices standing in for decoded frames); `decode_stub='raise'` marks
+    the ffmpeg plug-point. Non-video rows pass through as a single
+    frame_idx=0 row (an image IS its only frame)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "frame decode requires ffmpeg/pyav; plug the codec here"
+                )
+            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for _, row in b.iterrows():
+                payload = row["payload"]
+                if row["kind"] != "video":
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(0)
+                    out["frame_ts_ms"].append(0)
+                    out["frame"].append(payload)
+                    continue
+                dur = int(row["meta"]["duration_ms"] or 0)
+                k = max(1, min(n_frames, len(payload)))
+                step = len(payload) // k
+                for j in range(k):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(j)
+                    out["frame_ts_ms"].append((dur * j) // k)
+                    out["frame"].append(payload[j * step:(j + 1) * step])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -102,3 +102,27 @@ def test_media_generation_deterministic(spark):
     b = {r["media_id"]: r["payload"]
          for r in synthesize_media(spark, n=8).repartition(3).collect()}
     assert a == b
+
+
+def test_frame_sampling_shapes_and_determinism(spark):
+    from agr_loader_spark.operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, n=24)
+    frames = sample_frames(media, n_frames=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    for mid, rows in by_media.items():
+        if kinds[mid] == "video":
+            assert len(rows) == 4
+            assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+            # timestamps evenly spaced and non-decreasing
+            ts = [r["frame_ts_ms"] for r in sorted(rows, key=lambda x: x["frame_idx"])]
+            assert ts == sorted(ts)
+        else:
+            assert len(rows) == 1 and rows[0]["frame_idx"] == 0
+    # deterministic under repartition
+    again = sample_frames(media.repartition(5), n_frames=4).collect()
+    assert {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in frames} == \
+           {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in again}
