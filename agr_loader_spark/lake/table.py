@@ -498,6 +498,19 @@ class LakeTable:
 
         return self._evolve(epoch_key, mut)
 
+    def drop_column(self, name: str, epoch_key: str | None = None) -> dict:
+        """Metadata-only drop (Iceberg ALTER TABLE ... DROP COLUMN): the
+        field id disappears from the current schema; old files simply
+        stop projecting it. The merge key cannot be dropped."""
+        def mut(m, cols):
+            if name == self.key:
+                raise ValueError(f"cannot drop merge key {name!r}")
+            if not any(c.name == name for c in cols):
+                raise ValueError(f"no column {name!r}")
+            return [c for c in cols if c.name != name]
+
+        return self._evolve(epoch_key, mut)
+
     def widen_column(self, name: str, new_type: str, epoch_key: str | None = None) -> dict:
         _WIDEN_OK = {("int", "bigint"), ("int", "long"), ("float", "double"),
                      ("array<int>", "array<bigint>"), ("smallint", "int"),

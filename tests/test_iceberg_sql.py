@@ -48,6 +48,7 @@ def test_evolution_statements():
         "ALTER TABLE t RENAME COLUMN source TO origin"
     assert evolve_sql("t", "widen", "n_tok", new_type="bigint") == \
         "ALTER TABLE t ALTER COLUMN n_tok TYPE bigint"
+    assert evolve_sql("t", "drop", "legacy") == "ALTER TABLE t DROP COLUMN legacy"
     assert "VERSION AS OF 7" in time_travel_sql("t", 7)
 
 

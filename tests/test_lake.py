@@ -124,3 +124,23 @@ def test_key_uniqueness_invariant(spark, tmproot):
         t.merge(_changes(spark, [(f"d{i % 5}", [e], 1, "FB", "U") for i in range(5)]), f"{e}:0")
     dup = t.read().groupBy("doc_id").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_drop_column_metadata_only(spark, tmproot):
+    t = _mk(spark, tmproot)
+    t.merge(_changes(spark, [("a", [1, 2], 2, "FB", "U")]), "0:0")
+    files_before = sorted(f["path"] for fs in t._m["buckets"].values() for f in fs)
+    t.drop_column("source", epoch_key="1:0")
+    assert sorted(f["path"] for fs in t._m["buckets"].values() for f in fs) == files_before
+    df = t.read()
+    assert df.columns == ["doc_id", "tokens", "n_tok"]
+    assert df.collect()[0]["tokens"] == [1, 2]
+    # dropping the merge key or a missing column is rejected
+    with pytest.raises(ValueError):
+        t.drop_column("doc_id")
+    with pytest.raises(ValueError):
+        t.drop_column("nope")
+    # a later re-add under the SAME name gets a NEW field id: old files
+    # must NOT leak their dropped values into the reborn column
+    t.add_column("source", "string", src_field="source", epoch_key="2:0")
+    assert t.read().collect()[0]["source"] is None
