@@ -682,6 +682,23 @@ class LakeTable:
                 return int(lin["snapshot_id"])
         return None
 
+    def metrics_df(self) -> DataFrame:
+        """The per-micro-batch metrics stream (<root>/_metrics.jsonl,
+        emitted by the replay runner) as a queryable DataFrame — the
+        engine-native version of the reference's end-of-run counter logs
+        (src/etl/molecular_interaction_etl.py:648-676)."""
+        path = os.path.join(self.root, "_metrics.jsonl")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame(
+                [], "epoch_key string, snapshot_id long, n_events long"
+            )
+        # leading-underscore files are invisible to Spark's file source
+        # (metadata-file convention), and the stream is driver-local and
+        # tiny (one line per micro-batch) — parse as a json-lines dataset
+        with open(path) as f:
+            lines = f.read().splitlines()
+        return self.spark.read.json(self.spark.sparkContext.parallelize(lines, 1))
+
     def history(self) -> list[dict]:
         out = []
         sid = self.snapshot_id

@@ -121,6 +121,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via a hashed-shingle common-count join.
 
@@ -140,6 +141,18 @@ def ngram_jaccard_pairs(
     """
     sets = _shingle_sets(docs, text_col, id_col, n)
     sh = sets.select(id_col, F.explode("sh_set").alias("h"))
+    if max_df is not None:
+        # stop-shingle cap: a shingle in > max_df docs contributes
+        # O(df^2) candidate pairs but almost no Jaccard discrimination
+        # (it's a stopword n-gram). Dropping it bounds the join at
+        # sum(min(df, max_df)^2) — the standard guard for web-scale
+        # corpora. This makes the result approximate: a pair whose ONLY
+        # shared shingles are capped ones is missed (its Jaccard is
+        # necessarily low unless the docs are tiny). Default off = exact.
+        # broadcast the DROP list, not the keep list: hot shingles are the
+        # Zipf head (few), sub-cap shingles are the tail (almost all)
+        hot = sh.groupBy("h").count().filter(F.col("count") > max_df).select("h")
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
     # the input may be a single small file (one scan partition); the
     # probe side of the self-join fans out k_shingle-fold, so spread it
     # across the cluster BEFORE the join or the blow-up runs on one core.

@@ -157,3 +157,14 @@ def test_generator_determinism_and_skew(spark, binlog):
     # schema plan is reserved: no data events at those lsns
     reserved = [p["event_lsn"] for p in schema_change_plan(N_EVENTS)]
     assert df1.filter(F.col("event_lsn").isin(reserved)).filter(F.col("op") != "S").count() == 0
+
+
+def test_metrics_df_is_queryable(spark, tmproot, binlog, oracle_df):
+    import pyspark.sql.functions as F
+    table = _fresh_table(spark, tmproot)
+    ReplayRunner(spark, table, source_path=binlog).run()
+    m = LakeTable.load(spark, table.root).metrics_df()
+    agg = m.filter(F.col("n_events").isNotNull()).agg(
+        F.sum("n_events").alias("n"), F.count("*").alias("segs")
+    ).collect()[0]
+    assert agg["n"] > 0 and agg["segs"] >= 3

@@ -126,3 +126,21 @@ def test_frame_sampling_shapes_and_determinism(spark):
     again = sample_frames(media.repartition(5), n_frames=4).collect()
     assert {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in frames} == \
            {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in again}
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    import pyspark.sql.functions as F
+    from agr_loader_spark.operators.dedup_docs import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [("1", "x y x y x y"), ("2", "x y x y z q"), ("3", "a b c d e f"),
+         ("4", "a b c d e g")],
+        "doc_id string, text string",
+    )
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              ngram_jaccard_pairs(docs, threshold=0.4, max_df=10).collect()}
+    assert capped == exact  # cap above every df: still exact
+    # cap at 1 removes every shared shingle -> no pairs survive
+    assert ngram_jaccard_pairs(docs, threshold=0.4, max_df=1).count() == 0
