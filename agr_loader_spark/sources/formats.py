@@ -149,3 +149,59 @@ def read_obo_terms(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in OBO_TERM_SCHEMA.fields])
 
     return raw.mapInPandas(parse, schema=OBO_TERM_SCHEMA)
+
+
+def read_xml_records(
+    spark: SparkSession, path_glob: str, record_tag: str
+) -> DataFrame:
+    """Distributed XML record scan (SURVEY.md S11 — the reference
+    xmltodict-parses NCBI eutils IdLists and Expression Atlas sitemaps
+    whole on the driver, src/etl/geo_xref_etl.py:57-72,
+    src/etl/expression_atlas_etl.py:84-100). XML is not line-splittable,
+    so parallelism is per FILE: a binaryFile scan feeds an Arrow-batched
+    mapInPandas that parses each document with stdlib ElementTree and
+    emits one row per ``record_tag`` element:
+
+        (src_file, text, attrs map<string,string>,
+         children map<string,string>)
+
+    ``record_tag`` matches on the local name (namespace-insensitive),
+    which covers both eutils ``<Id>`` lists and namespaced sitemap
+    ``<url>`` entries. For a single multi-GB XML file, split upstream
+    (the reference's inputs are many small-to-medium files)."""
+    import xml.etree.ElementTree as ET
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def _local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"src_file": [], "text": [], "attrs": [], "children": []}
+            for path, content in zip(b["path"], b["content"]):
+                root = ET.fromstring(bytes(content))
+                for el in root.iter():
+                    if _local(el.tag) != record_tag:
+                        continue
+                    out["src_file"].append(path)
+                    out["text"].append((el.text or "").strip() or None)
+                    out["attrs"].append(dict(el.attrib))
+                    out["children"].append(
+                        {
+                            _local(c.tag): (c.text or "").strip()
+                            for c in el
+                            if _local(c.tag)
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("src_file", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("children", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    return files.select("path", "content").mapInPandas(parse, schema=schema)

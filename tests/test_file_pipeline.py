@@ -54,3 +54,23 @@ def test_gaf_to_lake_pipeline(spark, tmproot, tmp_path):
     # MERGE idempotency + epoch key make it exact here)
     r2 = target.merge(kept.withColumn(OP_COL, F.lit("U")), "0:0")
     assert r2["skipped"]
+
+
+def test_xml_record_scan(spark, tmp_path):
+    # eutils-style IdList + namespaced sitemap urlset, parsed in parallel
+    (tmp_path / "ids.xml").write_text(
+        "<eSearchResult><IdList><Id>101</Id><Id>202</Id></IdList></eSearchResult>"
+    )
+    (tmp_path / "map.xml").write_text(
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://x.org/a</loc><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>https://x.org/b</loc></url></urlset>"
+    )
+    from agr_loader_spark.sources.formats import read_xml_records
+
+    ids = read_xml_records(spark, str(tmp_path / "ids.xml"), "Id").collect()
+    assert sorted(r["text"] for r in ids) == ["101", "202"]
+    urls = read_xml_records(spark, str(tmp_path / "map.xml"), "url").collect()
+    by_loc = {r["children"]["loc"]: r["children"] for r in urls}
+    assert set(by_loc) == {"https://x.org/a", "https://x.org/b"}
+    assert by_loc["https://x.org/a"]["lastmod"] == "2024-01-01"
