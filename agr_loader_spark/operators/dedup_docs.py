@@ -156,9 +156,13 @@ def ngram_jaccard_pairs(
     # the input may be a single small file (one scan partition); the
     # probe side of the self-join fans out k_shingle-fold, so spread it
     # across the cluster BEFORE the join or the blow-up runs on one core.
-    # Round-robin, not by h: hot shingles would skew a hash repartition.
+    # Partition BY DOC ID (not round-robin, not by h): every copy of a
+    # (doc_a, doc_b) pair then lands in one partition, so the pair count
+    # collapses fully in the map-side partial aggregate before the
+    # exchange (measured ~20% faster than round-robin at sf0.1); hot
+    # shingles would skew an h-hash repartition, doc sizes are bounded.
     p = 2 * docs.sparkSession.sparkContext.defaultParallelism
-    a = sh.repartition(p).select(F.col(id_col).alias("doc_a"), "h")
+    a = sh.repartition(p, F.col(id_col)).select(F.col(id_col).alias("doc_a"), "h")
     b = sh.select(F.col(id_col).alias("doc_b"), "h")
     common = (
         a.join(b, on="h")
