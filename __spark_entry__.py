@@ -156,22 +156,51 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+# edge-case rows unioned into the dedup contract corpora on BOTH sides
+# (Spark + oracle): sub-n-token docs prove the shingle guard, the twin
+# long docs prove edge rows still pair. Keeps the oracle green on a
+# corpus that r1 crashed on.
+_EDGE_DOCS = [
+    (9000001, "tiny"),
+    (9000002, ""),
+    (9000003, "edge twin doc alpha beta gamma delta"),
+    (9000004, "edge twin doc alpha beta gamma delta"),
+]
+_EDGE_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, '{t}')" for i, t in _EDGE_DOCS)
+    + ") AS t(doc_id, text)"
+)
+
+
+def _docs_with_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    return d.unionByName(edge)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agr_loader_spark.operators.dedup_docs import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=2)
+    return ngram_jaccard_pairs(_docs_with_edges(spark, sf_dir), threshold=0.5, n=2)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agr_loader_spark.operators.dedup_docs import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=2)
+    return minhash_lsh_pairs(_docs_with_edges(spark, sf_dir), threshold=0.5, n=2)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agr_loader_spark.operators.dedup_docs import simhash_pairs
+    """SimHash near-dup pairs with the oracle-portable md5 token hash;
+    max_hamming=6 now runs on 7 derived chunks (pigeonhole-complete)."""
+    from agr_loader_spark.operators.dedup_docs import md5_token_hash, simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    out = simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=6, token_hash=md5_token_hash
+    )
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,9 +558,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY md5(text)
     """
-    _jaccard_cte = """
-        WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-                      FROM documents),
+    _jaccard_cte = f"""
+        WITH documents2 AS ({_EDGE_DOCS_SQL}),
+        toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                 FROM documents2),
         sh AS (SELECT doc_id,
                       unnest(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS s
                FROM toks),
@@ -548,6 +578,43 @@ def oracle_sql() -> dict[str, str]:
     # minhash_lsh verifies candidates with exact jaccard, and at this corpus
     # every >=0.5 pair shares an LSH band, so the oracle is the exact query
     sql["minhash_lsh"] = _jaccard_cte
+    # simhash oracle: recompute the 64-bit simhash per doc IN SQL from the
+    # same md5-derived token hashes (bit votes over all token occurrences,
+    # vote > 0 -> bit set), then exact all-pairs hamming via bit_count(xor).
+    # Proves both the hash portability AND banding completeness end-to-end.
+    _wh = (
+        "('0x'||substr(md5(t),1,4))::BIGINT::HUGEINT * 281474976710656"
+        " + ('0x'||substr(md5(t),5,4))::BIGINT::HUGEINT * 4294967296"
+        " + ('0x'||substr(md5(t),9,4))::BIGINT::HUGEINT * 65536"
+        " + ('0x'||substr(md5(t),13,4))::BIGINT::HUGEINT"
+    )
+    _votes = ",\n               ".join(
+        f"sum(CASE WHEN (wh // {1 << j}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    _assemble = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
+        for j in range(64)
+    )
+    sql["simhash_pairs"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents),
+        h AS (SELECT doc_id, {_wh} AS wh FROM tok),
+        v AS (SELECT doc_id,
+               {_votes}
+              FROM h GROUP BY doc_id),
+        s AS (SELECT doc_id, ({_assemble}) AS u FROM v),
+        sb AS (SELECT doc_id,
+                      CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                           THEN u - 18446744073709551616::HUGEINT ELSE u END
+                           AS BIGINT) AS sh
+               FROM s)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    """
     sql["text_profile"] = """
         WITH t AS (SELECT doc_id, text, n_chars,
                           regexp_split_to_array(trim(text), '\\s+') AS toks

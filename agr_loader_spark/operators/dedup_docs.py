@@ -5,26 +5,29 @@ engine operator per the build brief):
 
 - exact:       hash-groupBy on a content digest — the only one that is
                loss-free; one shuffle on the digest.
-- ngram_jaccard: EXACT Jaccard over word n-gram shingle sets via
-               prefix filtering (the AllPairs/PPJoin family): shingles
-               are globally ordered by document frequency (rarest
-               first) and each doc joins only on its first
-               |A| - ceil(t*|A|) + 1 shingles. Any pair with
-               J >= t must share a prefix shingle (if all common
-               shingles sat in both suffixes, |A∩B| <= ceil(t|A|)-1
-               < t|A| <= t|A∪B|, contradiction), so candidates are a
-               superset of true pairs and exact verification restores
-               equality — same output as the naive self-join, but
-               candidate cost is sum k_p^2 over *rare* shingles only
-               instead of sum k^2 over all (hot "stopword" shingles
-               never enter the join).
+- ngram_jaccard: EXACT Jaccard over word n-gram shingle sets via a
+               hashed-shingle self-equi-join: explode each doc's
+               distinct shingle hashes, join on the hash, count common
+               shingles per (doc_a, doc_b) pair (the probe side is
+               partitioned by doc id so every copy of a pair collapses
+               in the map-side partial aggregate), then Jaccard from
+               per-doc set sizes computed in the scan projection.
+               Inherently bounded below by the candidate count
+               sum_shingle df^2 — this is the loss-free verification
+               baseline. The optional `max_df` stop-shingle cap bounds
+               the join at sum(min(df, max_df)^2) for web-scale corpora
+               at a documented (tiny) recall cost. (A PPJoin-style
+               prefix filter was measured and rejected: the global
+               df-ordering pass cost more than it saved at every scale
+               tested — see BENCH/BASELINE.md.)
 - minhash_lsh: MinHash signatures + banded LSH bucketing — the scale
                path: candidate pairs come from equi-joins on (band,
                band_hash) buckets, never a cross product; candidates
                are then verified with exact Jaccard (no false
                positives; recall controlled by bands x rows).
 - simhash:     64-bit SimHash + chunk-banded candidate join + Hamming
-               verification.
+               verification (chunk count derived from max_hamming so
+               the pigeonhole completeness guarantee always holds).
 
 All shingling/hashing is JVM-side (split/explode/xxhash64); SimHash bit
 folding is a vectorized pandas UDF over grouped hash arrays.
@@ -53,18 +56,32 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 # ------------------------------------------------------------- shingling
-def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             n: int = 2) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+def _gram_array(text_col: str, n: int):
+    """Word n-gram array expression, SAFE for sub-n-token documents: a
+    doc with fewer than n tokens has no n-grams, so it gets an EMPTY
+    array (Spark's `sequence(0, negative)` would otherwise produce a
+    descending range and `slice(toks, 0, n)` throws at runtime — a
+    short doc is a certainty at corpus scale). The DuckDB oracle's
+    `range(1, len(t))` is likewise empty for len(t) < 2."""
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Docs with
+    fewer than n tokens contribute no rows (explode of empty array)."""
     # array_distinct already dedups within a doc, so (id, shingle) is
     # unique with no extra shuffle
     return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+        F.col(id_col),
+        F.explode(F.array_distinct(_gram_array(text_col, n))).alias("shingle"),
     )
 
 
@@ -74,15 +91,13 @@ def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
     explode, no shuffle (xxhash64 collisions within/across 50-shingle
     docs are ~2^-64-scale, the same digest-equality stance exact_dedup
     takes with md5). Unordered: array_intersect and explode consumers
-    don't need a sort, and the per-doc n log n shows up at corpus scale."""
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    don't need a sort, and the per-doc n log n shows up at corpus scale.
+    Sub-n-token docs get an empty set (n_sh = 0) and thus never pair."""
     return docs.select(
         F.col(id_col),
-        F.transform(F.array_distinct(grams), lambda s: F.xxhash64(s)).alias("sh_set"),
+        F.transform(
+            F.array_distinct(_gram_array(text_col, n)), lambda s: F.xxhash64(s)
+        ).alias("sh_set"),
     ).withColumn("n_sh", F.size("sh_set"))
 
 
@@ -190,12 +205,13 @@ def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, n: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — sig[i] = min over the doc's shingle
-    hashes h of xxhash64(i, h). Computed entirely in the scan projection
-    as a nested transform over the per-doc shingle-hash set: no explode,
-    no shuffle, no 64-way aggregate — each doc row emits its signature
-    in one whole-stage-codegen pass. (Shingle-set hashing caveat as in
-    `_shingle_sets`: 2^-64-scale collision stance.)"""
+    """(id, sig: array<bigint>) — sig[i] = min over the doc's string
+    shingles s of xxhash64(i, s). Shape: explode distinct shingles,
+    repartition to spread the hash CPU, then ONE groupBy(id) with
+    num_hashes codegen'd min-aggregates assembled into the signature
+    array. (A nested transform-of-transform over per-doc hash sets —
+    "no explode, no shuffle" — was measured SLOWER: it runs
+    interpreted, outside whole-stage codegen; see the note below.)"""
     # string shingles + 64 codegen'd min-aggs. Measured alternatives on
     # sf0.1 (warm, 3 reps): nested transform-of-transform over per-doc
     # hash sets runs interpreted (~6s); pre-hashed long shingles make the
@@ -270,12 +286,32 @@ def _simhash_fold(hashes: pd.Series) -> pd.Series:
     return pd.Series(out.view(np.int64))
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) from whitespace-token hashes."""
+def md5_token_hash(tok) -> F.Column:
+    """Deterministic 64-bit token hash assembled from the first 16 hex
+    chars of md5, via four 16-bit pieces (shift/or only — no arithmetic
+    that ANSI mode could overflow-check). Portable: DuckDB computes the
+    identical value with ('0x' || substr(md5(t), ...))::BIGINT, which is
+    what makes `simhash_pairs` oracle-checkable end-to-end."""
+    h = F.md5(tok)
+    pieces = [
+        F.conv(F.substring(h, 1 + 4 * k, 4), 16, 10).cast("long") for k in range(4)
+    ]
+    out = F.shiftleft(pieces[0], 48)
+    for k in range(1, 4):
+        out = out.bitwiseOR(F.shiftleft(pieces[k], 16 * (3 - k)))
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            token_hash=None) -> DataFrame:
+    """(id, simhash) from whitespace-token hashes. ``token_hash`` maps a
+    token Column to a 64-bit hash Column (default xxhash64 — fastest;
+    pass `md5_token_hash` for the oracle-portable variant)."""
+    th = token_hash or F.xxhash64
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
     hashed = docs.select(
         F.col(id_col),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("word_hashes"),
+        F.transform(toks, lambda t: th(t)).alias("word_hashes"),
     )
     return hashed.select(id_col, _simhash_fold(F.col("word_hashes")).alias("simhash"))
 
@@ -283,19 +319,38 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    token_hash=None,
 ) -> DataFrame:
-    """Pairs within Hamming distance: band the 64-bit hash into 4
-    16-bit chunks (pigeonhole: distance<=3 pairs share >=1 chunk),
-    equi-join on (chunk_idx, chunk), verify with bit_count(xor)."""
-    sh = simhash(docs, text_col, id_col)
+    """All pairs within Hamming distance ``max_hamming`` of each other's
+    64-bit SimHash. Banding with the pigeonhole guarantee: split the 64
+    bits into ``max_hamming + 1`` chunks — a pair differing in at most
+    max_hamming bits must agree on at least one WHOLE chunk (pigeonhole:
+    max_hamming differing bits cannot touch all max_hamming+1 chunks) —
+    equi-join on (chunk_idx, chunk), verify with bit_count(xor). The
+    chunk count is DERIVED from max_hamming, so completeness holds for
+    every setting (a fixed 4-chunk split silently missed hamming-4..6
+    pairs when called with max_hamming=6).
+
+    Shuffle keys are (chunk_idx, chunk) — bucketed candidates, never a
+    cross product; wider max_hamming -> more, narrower chunks -> more
+    candidates, the standard recall/cost dial.
+    """
+    n_chunks = max_hamming + 1
+    # chunk k covers bits [k*w, min((k+1)*w, 64)) — widths as even as
+    # possible; every bit belongs to exactly one chunk
+    bounds = [round(k * 64 / n_chunks) for k in range(n_chunks + 1)]
+    sh = simhash(docs, text_col, id_col, token_hash=token_hash)
+    chunk_exprs = []
+    for k in range(n_chunks):
+        lo, hi = bounds[k], bounds[k + 1]
+        width = hi - lo
+        mask = (1 << width) - 1
+        chunk_exprs.append(
+            F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit(mask))
+        )
     chunks = sh.select(
         F.col(id_col), F.col("simhash"),
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), 16 * k).bitwiseAND(F.lit(0xFFFF))
-                for k in range(4)
-            ])
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
     )
     a = chunks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
                       "chunk_idx", "chunk")

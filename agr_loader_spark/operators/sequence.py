@@ -43,11 +43,16 @@ def chunk_contigs(
     be short. This is the storage layout — write it bucketed by contig
     and the slice join below prunes to the touched chunks only."""
     n_chunks = F.ceil(F.length(F.col(seq_col)) / F.lit(chunk_size)).cast("int")
+    # guard: an empty/null sequence has no chunks — sequence(0, -1) would
+    # auto-step DOWNWARD and emit spurious chunk_idx [0, -1] rows
+    idx = F.when(
+        n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return contigs.select(
         F.col(id_col).alias("contig"),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
+                idx,
                 lambda i: F.col(seq_col).substr(
                     (i * chunk_size + 1).cast("int"), F.lit(chunk_size)
                 ),
@@ -77,12 +82,17 @@ def slice_intervals(
     """
     lo = F.floor((F.col(start_col) - 1) / chunk_size)
     hi = F.floor((F.col(end_col) - 1) / chunk_size)
+    # guard: an inverted interval (end < start) covers no chunks — a
+    # descending sequence() would explode spurious rows instead of none
+    covered = F.when(
+        hi >= lo, F.sequence(lo.cast("int"), hi.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
     wanted = intervals.select(
         "interval_id",
         F.col(contig_col).alias("contig"),
         F.col(start_col).alias("__start"),
         F.col(end_col).alias("__end"),
-        F.explode(F.sequence(lo.cast("int"), hi.cast("int"))).alias("chunk_idx"),
+        F.explode(covered).alias("chunk_idx"),
     )
     joined = wanted.join(chunks, on=["contig", "chunk_idx"])
     # overlap of [start, end] with this chunk's [cs*idx+1, cs*(idx+1)]

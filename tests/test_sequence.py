@@ -67,3 +67,26 @@ def test_translate_cds_known_codons(spark):
     )
     out = [r["p"] for r in df.select(translate_cds("cds").alias("p")).collect()]
     assert out == ["MA*", "MA", "M", None]
+
+
+def test_degenerate_inputs_yield_zero_rows(spark):
+    """ADVICE r1: empty sequences and inverted intervals must produce
+    NOTHING deterministically — not spurious rows from a descending
+    sequence() range."""
+    from agr_loader_spark.operators.sequence import chunk_contigs, slice_intervals
+
+    contigs = spark.createDataFrame(
+        [("empty", ""), ("chrZ", "ACGTACGTACGT")], "contig string, seq string"
+    )
+    chunks = chunk_contigs(contigs, chunk_size=4)
+    rows = chunks.collect()
+    assert all(r["contig"] == "chrZ" for r in rows)
+    assert sorted(r["chunk_idx"] for r in rows) == [0, 1, 2]
+    # inverted interval (end < start) -> zero output rows
+    bad = spark.createDataFrame(
+        [("inv", "chrZ", 9, 4), ("ok", "chrZ", 5, 8)],
+        "interval_id string, contig string, start int, end int",
+    )
+    out = slice_intervals(chunks, bad, chunk_size=4).collect()
+    assert len(out) == 1 and out[0]["interval_id"] == "ok"
+    assert out[0]["seq"] == "ACGT"

@@ -128,6 +128,82 @@ def test_frame_sampling_shapes_and_determinism(spark):
            {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in again}
 
 
+def test_shingle_ops_survive_short_docs(spark):
+    """Docs with fewer than n tokens (incl. empty/whitespace-only) must
+    yield zero shingles — not an INVALID_PARAMETER_VALUE crash from a
+    descending sequence() (VERDICT r1 finding 1)."""
+    from agr_loader_spark.operators.dedup_docs import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, shingles, simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [("1", "solo"), ("2", ""), ("3", "   "), ("4", "a b c d e f"),
+         ("5", "a b c d e f"), ("6", "two toks")],
+        "doc_id string, text string",
+    )
+    # shingle explode drops sub-n docs entirely
+    sh = shingles(docs, n=2).collect()
+    assert {r["doc_id"] for r in sh} == {"4", "5", "6"}
+    # the full pair pipelines run and still find the real dup
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert exact == {("4", "5")}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh == {("4", "5")}
+    # simhash path also survives degenerate docs
+    simhash_pairs(docs, max_hamming=3).collect()
+
+
+def test_simhash_banding_complete_at_any_hamming(spark, docs):
+    """Pigeonhole completeness: banded candidate generation must find
+    EVERY pair within max_hamming — verified exhaustively against the
+    all-pairs ground truth (VERDICT r1 finding 2: a fixed 4-chunk split
+    missed hamming 4-6 pairs at max_hamming=6)."""
+    from itertools import combinations
+
+    from agr_loader_spark.operators.dedup_docs import simhash, simhash_pairs
+
+    sub = docs.limit(120)
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(sub).collect()}
+    for mh in (3, 6, 10):
+        truth = {
+            (min(a, b), max(a, b))
+            for a, b in combinations(sims, 2)
+            if bin((sims[a] ^ sims[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= mh
+        }
+        got = {(r["doc_a"], r["doc_b"])
+               for r in simhash_pairs(sub, max_hamming=mh).collect()}
+        assert got == truth, f"max_hamming={mh}: {len(got)} vs {len(truth)}"
+
+
+def test_md5_token_hash_matches_duckdb(spark):
+    """The oracle-portable token hash must agree bit-for-bit with the
+    DuckDB expression the simhash oracle uses."""
+    import duckdb
+
+    from agr_loader_spark.operators.dedup_docs import md5_token_hash
+
+    toks = ["the", "quick", "brown", "fox", "", "Ünïcode"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {r["tok"]: r["h"] for r in
+           df.select("tok", md5_token_hash(F.col("tok")).alias("h")).collect()}
+    con = duckdb.connect()
+    for t in toks:
+        (want,) = con.execute(
+            """
+            SELECT CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                        THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+            FROM (SELECT ('0x' || substr(md5(?),1,4))::BIGINT::HUGEINT * 281474976710656
+                       + ('0x' || substr(md5(?),5,4))::BIGINT::HUGEINT * 4294967296
+                       + ('0x' || substr(md5(?),9,4))::BIGINT::HUGEINT * 65536
+                       + ('0x' || substr(md5(?),13,4))::BIGINT::HUGEINT AS u)
+            """,
+            [t, t, t, t],
+        ).fetchone()
+        assert got[t] == want, t
+
+
 def test_ngram_jaccard_max_df_cap(spark):
     import pyspark.sql.functions as F
     from agr_loader_spark.operators.dedup_docs import ngram_jaccard_pairs
