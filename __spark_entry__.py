@@ -203,6 +203,19 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair -> cluster resolution: connected components over the
+    exact-Jaccard pair graph (incl. the edge-doc twins), component = min
+    doc id. Oracle: DuckDB recursive CTE (min reachable id per node)."""
+    from agr_loader_spark.operators.clusters import connected_components
+    from agr_loader_spark.operators.dedup_docs import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs_with_edges(spark, sf_dir), threshold=0.5, n=2)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agr_loader_spark.operators.textqc import lang_id, quality_score, token_count
 
@@ -455,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "text_profile": q_text_profile,
         "doc_fingerprint": q_doc_fingerprint,
@@ -578,6 +592,28 @@ def oracle_sql() -> dict[str, str]:
     # minhash_lsh verifies candidates with exact jaccard, and at this corpus
     # every >=0.5 pair shares an LSH band, so the oracle is the exact query
     sql["minhash_lsh"] = _jaccard_cte
+    # clusters: same pair graph, component = min reachable node id
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE documents2 AS ({_EDGE_DOCS_SQL}),
+        toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                 FROM documents2),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS s
+               FROM toks),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+              FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        p AS (SELECT doc_a, doc_b
+              FROM c JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+              WHERE nc * 1.0 / (x.n + y.n - nc) >= 0.5),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        r AS (SELECT u, u AS reach FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT e.u, r.reach FROM e JOIN r ON e.v = r.u)
+        SELECT u AS doc_id, min(reach) AS component FROM r GROUP BY u
+    """
     # simhash oracle: recompute the 64-bit simhash per doc IN SQL from the
     # same md5-derived token hashes (bit votes over all token occurrences,
     # vote > 0 -> bit set), then exact all-pairs hamming via bit_count(xor).
