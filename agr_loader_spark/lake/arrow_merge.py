@@ -118,6 +118,7 @@ def make_bucket_fold(
     op_col: str,
     lsn_col: str,
     bucket_col: str,
+    update_only: bool = False,
 ):
     """Build the applyInPandas function for one micro-batch merge.
 
@@ -139,8 +140,11 @@ def make_bucket_fold(
 
         state = read_bucket_state(bucket_files.get(bucket, []), schema_versions,
                                   current, root)
+        state_keys = None
         if state is not None and len(state):
             sdf = state.to_pandas(types_mapper=None)
+            if update_only:
+                state_keys = set(sdf[key])
             sdf[op_col] = "U"
             sdf[lsn_col] = -1
             pdf = pd.concat([sdf, pdf[names + [op_col, lsn_col]]], ignore_index=True)
@@ -152,6 +156,10 @@ def make_bucket_fold(
         win = pdf.loc[pdf.groupby(key, sort=False)[lsn_col].idxmax()]
         n_deletes_applied = int((win[op_col] == "D").sum())
         win = win[win[op_col] == "U"][names]
+        if update_only:
+            # matched-only patch: a winning upsert for a key NOT already
+            # in this bucket's state is dropped, never inserted
+            win = win[win[key].isin(state_keys)] if state_keys else win.iloc[0:0]
 
         bdir = os.path.join(root, stage_rel, f"{bucket_col}={bucket}")
         os.makedirs(bdir, exist_ok=True)

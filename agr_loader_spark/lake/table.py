@@ -212,7 +212,7 @@ class LakeTable:
         epoch_key: str,
         lineage: dict | None = None,
         touched_buckets: Sequence[int] | None = None,
-        mode: str = "lww",  # "lww" | "insert_if_absent" (first-writer-wins)
+        mode: str = "lww",  # "lww" | "insert_if_absent" | "update_only"
     ) -> dict:
         """Apply one micro-batch changeset atomically, exactly once.
 
@@ -233,6 +233,8 @@ class LakeTable:
         """
         from pyspark.sql import Observation
 
+        if mode not in ("lww", "insert_if_absent", "update_only"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         if epoch_key in self.applied_epochs():
             return {"skipped": True, "epoch_key": epoch_key, "snapshot_id": self.snapshot_id}
 
@@ -278,7 +280,14 @@ class LakeTable:
             def pick(c):
                 return (F.when(F.col(OP_COL).isNull(), F.col(c.name))
                         .otherwise(F.col(f"__s_{c.name}")).alias(c.name))
-        merged = joined.filter(F.col(OP_COL).isNull() | (F.col(OP_COL) == "U")).select(
+        keep = F.col(OP_COL).isNull() | (F.col(OP_COL) == "U")
+        if mode == "update_only":
+            # matched-only patch (MERGE WHEN MATCHED UPDATE, no insert
+            # branch — the reference's `MATCH (e {primaryKey}) SET ...`,
+            # src/etl/ecomap_etl.py:22-30): source rows whose key is
+            # absent from the table are dropped, not inserted
+            keep = keep & F.col(self.key).isNotNull()
+        merged = joined.filter(keep).select(
             F.coalesce(F.col(self.key), F.col("__s_key")).alias(self.key),
             *[pick(c) for c in cur if c.name != self.key],
         ).select(*[c.name for c in cur])
@@ -356,16 +365,20 @@ class LakeTable:
         lineage: dict | None = None,
         touched_buckets: Sequence[int] | None = None,
         prepared: bool = False,
+        mode: str = "lww",  # "lww" | "update_only"
     ) -> dict:
         """Two-stage Arrow-native merge (see lake/arrow_merge.py).
 
         ``changes`` carries current columns + ``__op`` + ``lsn_col`` and
         need NOT be pre-reduced: LWW (incl. re-delivery dedup) happens
         inside the bucket fold, so the caller's whole pipeline is
-        scan -> project -> one shuffle -> fold/write.
+        scan -> project -> one shuffle -> fold/write. ``mode=
+        'update_only'`` patches matched keys only (no insert branch).
         """
         from .arrow_merge import MANIFEST_SCHEMA, make_bucket_fold
 
+        if mode not in ("lww", "update_only"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         if epoch_key in self.applied_epochs():
             return {"skipped": True, "epoch_key": epoch_key, "snapshot_id": self.snapshot_id}
 
@@ -402,6 +415,7 @@ class LakeTable:
             op_col=OP_COL,
             lsn_col=lsn_col,
             bucket_col=BUCKET_COL,
+            update_only=(mode == "update_only"),
         )
         # hash(bucket, n) partitioning from prepare_changes satisfies the
         # groupBy's clustered distribution, so no second shuffle here.
@@ -440,6 +454,74 @@ class LakeTable:
             }
         )
         m = self._child_manifest(new_sid, "merge-arrow", epoch_key)
+        m["buckets"] = new_buckets
+        m["lineage"].append(lin)
+        self._commit(m)
+        self._m = m
+        return {"skipped": False, **lin}
+
+    def delete_where(self, predicate, epoch_key: str,
+                     lineage: dict | None = None) -> dict:
+        """Predicate-conditional delete: remove every current row whose
+        payload satisfies ``predicate`` (a SQL string or Column over the
+        table's columns) — `MERGE ... WHEN MATCHED AND <pred> THEN
+        DELETE` / the reference's `MATCH ... WHERE <pred> DETACH DELETE`
+        empty-node sweep (src/etl/disease_etl.py:238-248). Epoch-keyed,
+        exactly-once, atomic like every other commit.
+
+        Three-valued logic: rows where the predicate evaluates NULL are
+        KEPT (only predicate IS TRUE deletes). Scale: one stats pass
+        finds the buckets containing matches; only those buckets are
+        rewritten (copy-on-write at bucket granularity, like merge).
+        """
+        if epoch_key in self.applied_epochs():
+            return {"skipped": True, "epoch_key": epoch_key, "snapshot_id": self.snapshot_id}
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = F.coalesce(cond, F.lit(False))
+
+        state = self.read().withColumn(BUCKET_COL, self._bucket_expr(F.col(self.key)))
+        per_bucket = (
+            state.filter(hit).groupBy(BUCKET_COL).count().collect()
+        )
+        touched = sorted(int(r[BUCKET_COL]) for r in per_bucket)
+        n_deletes = sum(int(r["count"]) for r in per_bucket)
+        if not touched:
+            return self._commit_noop(epoch_key, lineage)
+
+        cur = self.columns()
+        keep = (
+            self.read(buckets=touched)
+            .filter(~hit)
+            .select(*[c.name for c in cur])
+            .withColumn(BUCKET_COL, self._bucket_expr(F.col(self.key)))
+        )
+        new_sid = self.snapshot_id + 1
+        stage_rel = os.path.join("data", str(new_sid))
+        stage = os.path.join(self.root, stage_rel)
+        keep.repartition(max(len(touched), 1), F.col(BUCKET_COL)).write.partitionBy(
+            BUCKET_COL
+        ).mode("overwrite").parquet(stage)
+
+        sv = self._m["schema_version"]
+        new_buckets = dict(self._m["buckets"])
+        for b in touched:
+            bdir = os.path.join(stage, f"{BUCKET_COL}={b}")
+            files = []
+            if os.path.isdir(bdir):
+                files = [
+                    {"path": os.path.join(stage_rel, f"{BUCKET_COL}={b}", fn),
+                     "schema_version": sv}
+                    for fn in sorted(os.listdir(bdir))
+                    if fn.endswith(".parquet")
+                ]
+            new_buckets[str(b)] = files
+
+        lin = dict(lineage or {})
+        lin.update({
+            "epoch_key": epoch_key, "snapshot_id": new_sid,
+            "n_upserts": 0, "n_deletes": n_deletes, "buckets_touched": touched,
+        })
+        m = self._child_manifest(new_sid, "delete-where", epoch_key)
         m["buckets"] = new_buckets
         m["lineage"].append(lin)
         self._commit(m)
@@ -643,9 +725,17 @@ class LakeTable:
             *[F.col(n).alias(f"__o_{n}") for n in non_key],
         )
         j = new.join(o, new[self.key] == o["__o_key"], "full_outer")
-        same = F.xxhash64(*[F.col(n) for n in non_key]) == F.xxhash64(
-            *[F.col(f"__o_{n}") for n in non_key]
-        )
+        # null-safe per-column equality. NOT xxhash64 over the column
+        # list: Spark's hash functions SKIP null inputs, so a row whose
+        # values shift between columns null-compensatingly (colA 5->null
+        # while colB null->5) would hash equal and silently vanish from
+        # the changelog. A key-only table has no payload to differ on.
+        if non_key:
+            same = F.lit(True)
+            for n in non_key:
+                same = same & F.col(n).eqNullSafe(F.col(f"__o_{n}"))
+        else:
+            same = F.lit(True)
         op = (
             F.when(F.col("__o_key").isNull(), F.lit("I"))
             .when(F.col(self.key).isNull(), F.lit("D"))

@@ -152,15 +152,63 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force; pair the LSH
-    candidate generator above for scale). Output: (id_a, id_b, cos_sim)."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """Embedding-cosine near-duplicate pairs. Output: (id_a, id_b,
+    cos_sim) with id_a < id_b, cos_sim rounded to 6dp, >= threshold.
+
+    method='lsh' (default — the scale path): random-hyperplane sign
+    buckets per band (deterministic counter-hash planes, no RNG state),
+    candidate pairs from a self-equi-join on (band, bucket) — shuffle
+    keys only, never a cross product — then EXACT cosine verification,
+    so false positives are impossible and recall is the standard banding
+    S-curve: a pair at angle θ collides per band with (1-θ/π)^r,
+    r = n_planes/bands. The 32-band x 2-plane default puts the miss
+    probability below 1e-7 at cos 0.4 and ~1e-13 at cos 0.9.
+
+    method='brute': exact all-pairs crossJoin — O(n^2), the verification
+    oracle for small corpora (and the shape DuckDB can mirror).
+    """
+    if method == "brute":
+        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+    dim = embeddings.select(F.size(vec_col)).first()[0]
+    meta = F.lit(f"{seed}:{n_planes}:{dim}")
+    r = n_planes // bands
+    signs = _hyperplane_signs(F.col(vec_col), meta)
+    bucketed = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), signs.alias("signs")
+    ).select(
+        "__id", "__vec",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("signs").getItem(b * r + j) for j in range(r)])
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    ca = bucketed.select(F.col("__id").alias("id_a"), F.col("__vec").alias("va"),
+                         "band", "bucket")
+    cb = bucketed.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vb"),
+                         "band", "bucket")
     return (
-        a.crossJoin(b)
+        ca.join(cb, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b",
+                F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -96,3 +96,35 @@ def test_point_lookup_reads_only_touched_buckets(spark, tmproot):
         assert _tokens_eq(r["tokens"], all_rows[r["doc_id"]]["tokens"])
     # missing key -> no row, no error
     assert table.lookup(["__nope__"]).count() == 0
+
+
+def test_changes_between_null_compensating_shift(spark, tmproot):
+    """ADVICE r1: a row whose values move between columns in a
+    null-compensating way (tokens [5] -> null while source null -> set)
+    must appear as 'U' — xxhash64 skips nulls and would hash both sides
+    equal. Also: equal-lsn re-sends of identical rows stay absent."""
+    table = LakeTable.create(spark, tmproot + "/t", TOKENS_TABLE_COLUMNS,
+                             key=TOKENS_MERGE_KEY, n_buckets=4)
+    runner = ReplayRunner(spark, table, source_df=spark.createDataFrame(
+        [
+            {"event_lsn": 1, "epoch": 0, "op": "U", "doc_id": "d1",
+             "tokens": [5], "n_tok": 1, "source": None, "lang": None,
+             "schema_change": None, "ts": None},
+            {"event_lsn": 2, "epoch": 1, "op": "U", "doc_id": "d1",
+             "tokens": None, "n_tok": 1, "source": "xx", "lang": None,
+             "schema_change": None, "ts": None},
+        ],
+        "event_lsn long, epoch int, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string, lang string, "
+        "schema_change struct<kind:string,column:string,new_name:string,"
+        "new_type:string,src_field:string>, ts timestamp",
+    ))
+    runner.run()
+    table = LakeTable.load(spark, table.root)
+    lin = table.lineage()
+    s1, s2 = int(lin[0]["snapshot_id"]), int(lin[-1]["snapshot_id"])
+    rows = table.changes_between(s1, s2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r[OP_COL] == "U" and r["doc_id"] == "d1"
+    assert r["tokens"] is None and r["source"] == "xx"

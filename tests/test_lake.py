@@ -144,3 +144,70 @@ def test_drop_column_metadata_only(spark, tmproot):
     # must NOT leak their dropped values into the reborn column
     t.add_column("source", "string", src_field="source", epoch_key="2:0")
     assert t.read().collect()[0]["source"] is None
+
+
+def test_update_only_mode_jvm_sink(spark, tmproot):
+    """K6: matched-only patch — absent keys must NOT be inserted."""
+    t = _mk(spark, tmproot)
+    t.merge(_changes(spark, [("a", [1], 1, "FB", "U"), ("b", [2], 1, "WB", "U")]), "0:0")
+    r = t.merge(
+        _changes(spark, [("a", [9], 1, "FB", "U"),      # matched -> patched
+                         ("ghost", [5], 1, "ZFIN", "U"),  # absent -> dropped
+                         ("b", None, None, None, "D")]),  # matched delete applies
+        "1:0", mode="update_only",
+    )
+    assert not r["skipped"]
+    rows = {x["doc_id"]: x.asDict() for x in t.read().collect()}
+    assert set(rows) == {"a"}
+    assert rows["a"]["tokens"] == [9]
+
+
+def test_update_only_mode_arrow_sink(spark, tmproot):
+    t = _mk(spark, tmproot)
+
+    def _ch(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string,"
+            " __op string, event_lsn long",
+        )
+
+    t.merge_arrow(_ch([("a", [1], 1, "FB", "U", 1), ("b", [2], 1, "WB", "U", 2)]),
+                  "0:0", lsn_col="event_lsn")
+    t.merge_arrow(
+        _ch([("a", [9], 1, "FB", "U", 10),
+             ("ghost", [5], 1, "ZFIN", "U", 11),
+             ("b", None, None, None, "D", 12)]),
+        "1:0", lsn_col="event_lsn", mode="update_only",
+    )
+    rows = {x["doc_id"]: x.asDict() for x in t.read().collect()}
+    assert set(rows) == {"a"}
+    assert rows["a"]["tokens"] == [9]
+    with pytest.raises(ValueError, match="unknown merge mode"):
+        t.merge_arrow(_ch([]), "2:0", lsn_col="event_lsn", mode="nope")
+
+
+def test_delete_where_predicate(spark, tmproot):
+    """K7: predicate-conditional delete — epoch-keyed, bucket-COW,
+    NULL-predicate rows kept (three-valued logic)."""
+    t = _mk(spark, tmproot, n_buckets=8)
+    rows = [(f"d{i}", [i], i % 5, "FB" if i % 2 else "WB", "U") for i in range(40)]
+    rows.append(("dnull", [0], None, "FB", "U"))  # n_tok NULL -> predicate NULL
+    t.merge(_changes(spark, rows), "0:0")
+    before_buckets = dict(t._m["buckets"])
+
+    r = t.delete_where("n_tok = 0 AND source = 'WB'", epoch_key="1:0")
+    assert not r["skipped"]
+    expect_deleted = {f"d{i}" for i in range(40) if i % 5 == 0 and i % 2 == 0}
+    assert r["n_deletes"] == len(expect_deleted)
+    left = {x["doc_id"] for x in t.read().collect()}
+    assert left == ({f"d{i}" for i in range(40)} | {"dnull"}) - expect_deleted
+    assert "dnull" in left, "NULL predicate must keep the row"
+    # only buckets containing matches were rewritten
+    untouched = [b for b in t._m["buckets"] if int(b) not in r["buckets_touched"]]
+    assert untouched and all(t._m["buckets"][b] == before_buckets[b] for b in untouched)
+    # exactly-once: same epoch key is a no-op
+    assert t.delete_where("true", epoch_key="1:0")["skipped"]
+    # no matches -> noop commit, state intact
+    r2 = t.delete_where("source = 'NOPE'", epoch_key="2:0")
+    assert r2["n_deletes"] == 0 and t.read().count() == len(left)

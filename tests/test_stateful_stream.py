@@ -74,3 +74,29 @@ def test_compactor_dedups_and_survives_restart(spark, tmproot):
     _run_pass(spark, src, ckpt, got3)
     assert [r["doc_id"] for r in got3] == ["docB"]
     assert got3[0]["event_lsn"] == 6
+
+def test_tombstone_blocks_late_stale_resurrection(spark, tmproot):
+    """ADVICE r1: a late/re-delivered STALE event arriving after a delete
+    must stay suppressed — the delete leaves a tombstone in state, it
+    does not clear it."""
+    src, ckpt = tmproot + "/src", tmproot + "/ckpt"
+    _write_events(spark, src, [
+        _ev(1, "I", "docX", [1]),
+        _ev(5, "D", "docX", None),
+    ])
+    got1: list = []
+    _run_pass(spark, src, ckpt, got1)
+    assert [(r["doc_id"], r["op"], r["event_lsn"]) for r in got1] == [("docX", "D", 5)]
+
+    # later trigger: duplicate re-delivery of the ORIGINAL insert (lsn 1
+    # < tombstone 5). Pre-fix this resurrected docX as a fresh upsert.
+    _write_events(spark, src, [_ev(1, "I", "docX", [1])], mode="append")
+    got2: list = []
+    _run_pass(spark, src, ckpt, got2)
+    assert got2 == [], "stale event after delete must not resurrect the key"
+
+    # genuinely NEWER event after the delete does re-create the key
+    _write_events(spark, src, [_ev(9, "I", "docX", [2])], mode="append")
+    got3: list = []
+    _run_pass(spark, src, ckpt, got3)
+    assert [(r["doc_id"], r["event_lsn"]) for r in got3] == [("docX", 9)]

@@ -220,3 +220,19 @@ def test_ngram_jaccard_max_df_cap(spark):
     assert capped == exact  # cap above every df: still exact
     # cap at 1 removes every shared shingle -> no pairs survive
     assert ngram_jaccard_pairs(docs, threshold=0.4, max_df=1).count() == 0
+
+
+def test_cosine_near_dup_lsh_equals_brute(spark, emb):
+    """The LSH path must reach full recall on the fixture (exact verify
+    kills false positives; banding makes misses ~1e-7) and its plan must
+    contain no cartesian product."""
+    from agr_loader_spark.operators.similarity import cosine_near_dup_pairs
+
+    for thr in (0.4, 0.9):
+        brute = {(r["id_a"], r["id_b"]): r["cos_sim"]
+                 for r in cosine_near_dup_pairs(emb, thr, method="brute").collect()}
+        lsh_df = cosine_near_dup_pairs(emb, thr, method="lsh")
+        lsh = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in lsh_df.collect()}
+        assert lsh == brute, f"threshold {thr}"
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
