@@ -347,6 +347,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hgvs_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HGVS nomenclature + synonym (SURVEY.md T14 — the when/otherwise
+    re-expression of src/etl/variation_etl.py:194-237) over variant rows
+    synthesized deterministically from orders: all 5 SO type families,
+    an unknown type, and NULL starts/variant sequences."""
+    from agr_loader_spark.functions.hgvs import hgvs_nomenclature, hgvs_synonym
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    vt = (
+        F.when(k % 7 == 0, "SO:1000002")
+        .when(k % 7 == 1, "SO:1000008")
+        .when(k % 7 == 2, "SO:0000667")
+        .when(k % 7 == 3, "SO:0000159")
+        .when(k % 7 == 4, "SO:0002007")
+        .when(k % 7 == 5, "SO:1000032")
+        .otherwise("SO:0001059")
+    )
+    start = F.when(k % 11 == 0, F.lit(None).cast("long")).otherwise(k % 100000 + 1)
+    end = start + 3
+    refs = F.substring(F.lit("ACGT"), (k % 4 + 1).cast("int"), 1)
+    vars_ = F.when(k % 13 == 0, F.lit(None).cast("string")).otherwise(
+        F.substring(F.lit("TGCA"), (k % 4 + 1).cast("int"), 1)
+    )
+    v = o.select(
+        "o_orderkey",
+        F.concat(F.lit("RefSeq:NT_"), k.cast("string")).alias("refseq_id"),
+        vt.alias("variant_type"), start.alias("start_pos"), end.alias("end_pos"),
+        refs.alias("ref_seq"), vars_.alias("var_seq"),
+        F.lit("R6").alias("assembly"), (k % 4).cast("string").alias("chromosome"),
+    )
+    return v.select(
+        "o_orderkey",
+        hgvs_nomenclature("refseq_id", "variant_type", "start_pos", "end_pos",
+                          "ref_seq", "var_seq").alias("hgvs"),
+        hgvs_synonym("assembly", "chromosome", "variant_type", "start_pos",
+                     "end_pos", "ref_seq", "var_seq").alias("hgvs_syn"),
+    )
+
+
 def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered group re-join (SURVEY.md J8): the reference stitches CDS
     fragments per transcript ordered by start position in a Python loop
@@ -405,6 +445,46 @@ def q_count_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def q_pubid_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19: publication-id regex cascade (molecular_interaction_etl.py:
+    406-428) over deterministic synthesized raw ids — pubmed (both
+    cases), DOI, FBrf, and an unresolvable scheme that yields NULL."""
+    from agr_loader_spark.functions.text import publication_id
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    raw = (
+        F.when(k % 5 == 0, F.concat(F.lit("pubmed:"), ks))
+        .when(k % 5 == 1, F.concat(F.lit("DOI:10."), (1000 + k % 9000).cast("string"),
+                                   F.lit("/x"), ks))
+        .when(k % 5 == 2, F.concat(F.lit("flybase:FBrf"), ks))
+        .when(k % 5 == 3, F.concat(F.lit("wormbase:WBPaper"), ks))
+        .otherwise(F.concat(F.lit("PUBMED:"), ks))
+    )
+    return o.select(
+        "o_orderkey", raw.alias("raw_id"), publication_id(raw).alias("publication")
+    )
+
+
+def q_count_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 completed: counts compared against a prior-release baseline
+    with a shrinkage flag (src/etl/node_count_etl.py:20-41). Baseline is
+    derived deterministically: 'events' is inflated so exactly that
+    label trips the shrunk warning; every other label grew."""
+    from agr_loader_spark.operators.counts import count_regression_report
+
+    current = q_count_regression(spark, sf_dir)
+    baseline = current.select(
+        "tbl",
+        F.when(F.col("tbl") == "events", F.col("n_rows") * 2 + 7)
+        .otherwise(F.floor(F.col("n_rows") * 0.8) + 1)
+        .cast("long")
+        .alias("n_rows"),
+    )
+    return count_regression_report(current, baseline)
 
 
 def q_url_template(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,11 +560,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reject_tally": q_reject_tally,
         "closure": q_closure,
         "composite_key": q_composite_key,
+        "hgvs_key": q_hgvs_key,
         "date_normalize": q_date_normalize,
         "multimodal_features": q_multimodal_features,
         "ordered_concat": q_ordered_concat,
         "xref_resolve": q_xref_resolve,
         "count_regression": q_count_regression,
+        "count_delta": q_count_delta,
+        "pubid_cascade": q_pubid_cascade,
         "url_template": q_url_template,
         "sequence_slice": q_sequence_slice,
     }
@@ -675,6 +758,24 @@ def oracle_sql() -> dict[str, str]:
                      6) AS quality
         FROM s
     """
+    # polynomial rolling hash mod 2^64: list_reduce's seed-from-first-
+    # element equals the 0-seeded fold (h1 = 0*base + b0 = b0); the
+    # corpus is ASCII so ascii(ch) == the utf-8 byte the UDF folds
+    sql["doc_fingerprint"] = """
+        SELECT doc_id,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN h - 18446744073709551616::HUGEINT ELSE h END
+                    AS BIGINT) AS fingerprint
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR length(text) = 0 THEN 0::HUGEINT
+                        ELSE list_reduce(
+                            [ascii(x)::HUGEINT for x in str_split(text, '')],
+                            (acc, ch) -> (acc * 1099511628211::HUGEINT + ch)
+                                         % 18446744073709551616::HUGEINT)
+                   END AS h
+            FROM documents)
+    """
     sql["ann_topk"] = """
         WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id < 10),
@@ -741,6 +842,49 @@ def oracle_sql() -> dict[str, str]:
                                 o_orderstatus, o_orderpriority)) AS row_key
         FROM orders
     """
+    sql["hgvs_key"] = """
+        WITH v AS (
+            SELECT o_orderkey,
+                   'NT_' || CAST(o_orderkey AS VARCHAR) AS refseq_local,
+                   CASE o_orderkey % 7
+                        WHEN 0 THEN 'SO:1000002' WHEN 1 THEN 'SO:1000008'
+                        WHEN 2 THEN 'SO:0000667' WHEN 3 THEN 'SO:0000159'
+                        WHEN 4 THEN 'SO:0002007' WHEN 5 THEN 'SO:1000032'
+                        ELSE 'SO:0001059' END AS vt,
+                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                        ELSE o_orderkey % 100000 + 1 END AS start_pos,
+                   substr('ACGT', CAST(o_orderkey % 4 + 1 AS INT), 1) AS ref_seq,
+                   CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                        ELSE substr('TGCA', CAST(o_orderkey % 4 + 1 AS INT), 1)
+                   END AS var_seq,
+                   'R6' AS assembly,
+                   CAST(o_orderkey % 4 AS VARCHAR) AS chromosome
+            FROM orders),
+        w AS (
+            SELECT o_orderkey, refseq_local, vt, assembly, chromosome,
+                   coalesce(CAST(start_pos AS VARCHAR), '') AS start_s,
+                   coalesce(CAST(start_pos + 3 AS VARCHAR), '') AS end_s,
+                   coalesce(ref_seq, '') AS ref_s,
+                   coalesce(var_seq, '') AS var_s
+            FROM v),
+        x AS (
+            SELECT o_orderkey, refseq_local, assembly, chromosome, start_s,
+                   CASE WHEN vt IN ('SO:1000002','SO:1000008')
+                             THEN ref_s || '>' || var_s
+                        WHEN vt = 'SO:0000667' THEN '_' || end_s || 'ins' || var_s
+                        WHEN vt = 'SO:0000159' THEN '_' || end_s || 'del'
+                        WHEN vt IN ('SO:0002007','SO:1000032')
+                             THEN '_' || end_s || 'delins' || var_s
+                   END AS sfx
+            FROM w)
+        SELECT o_orderkey,
+               CASE WHEN sfx IS NULL THEN ''
+                    ELSE refseq_local || ':g.' || start_s || sfx END AS hgvs,
+               CASE WHEN sfx IS NULL THEN ''
+                    ELSE '(' || assembly || ')' || chromosome || ':' || start_s || sfx
+               END AS hgvs_syn
+        FROM x
+    """
     sql["ordered_concat"] = """
         SELECT l_orderkey,
                string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS flag_seq,
@@ -770,6 +914,55 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'events', CAST(count(*) AS BIGINT) FROM events
         UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
         UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings
+    """
+    sql["pubid_cascade"] = """
+        WITH raw AS (
+            SELECT o_orderkey,
+                   CASE o_orderkey % 5
+                        WHEN 0 THEN 'pubmed:' || CAST(o_orderkey AS VARCHAR)
+                        WHEN 1 THEN 'DOI:10.' || CAST(1000 + o_orderkey % 9000 AS VARCHAR)
+                                    || '/x' || CAST(o_orderkey AS VARCHAR)
+                        WHEN 2 THEN 'flybase:FBrf' || CAST(o_orderkey AS VARCHAR)
+                        WHEN 3 THEN 'wormbase:WBPaper' || CAST(o_orderkey AS VARCHAR)
+                        ELSE 'PUBMED:' || CAST(o_orderkey AS VARCHAR)
+                   END AS raw_id
+            FROM orders)
+        SELECT o_orderkey, raw_id,
+               CASE WHEN regexp_extract(raw_id, '(?i)(pubmed:\\d+)', 1) <> ''
+                         THEN regexp_replace(regexp_extract(raw_id, '(?i)(pubmed:\\d+)', 1),
+                                             '(?i)pubmed', 'PMID', 'g')
+                    WHEN regexp_extract(raw_id, '(?i)^((?:DOI:)?\\d{2}\\.\\d{4}.*)$', 1) <> ''
+                         THEN regexp_replace(regexp_extract(raw_id, '(?i)^((?:DOI:)?\\d{2}\\.\\d{4}.*)$', 1),
+                                             '(?i)DOI', 'doi', 'g')
+                    WHEN regexp_extract(raw_id, '(?i)^(flybase:FBrf\\d+)', 1) <> ''
+                         THEN regexp_replace(regexp_extract(raw_id, '(?i)^(flybase:FBrf\\d+)', 1),
+                                             '(?i)flybase', 'FB', 'g')
+                    ELSE NULL END AS publication
+        FROM raw
+    """
+    sql["count_delta"] = """
+        WITH cur AS (
+            SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows FROM region
+            UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT) FROM nation
+            UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
+            UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier
+            UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
+            UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+            UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+            UNION ALL SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+            UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
+            UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings),
+        base AS (
+            SELECT tbl,
+                   CAST(CASE WHEN tbl = 'events' THEN n_rows * 2 + 7
+                        ELSE CAST(floor(n_rows * 0.8) AS BIGINT) + 1 END AS BIGINT)
+                       AS baseline_rows
+            FROM cur)
+        SELECT cur.tbl AS label, cur.n_rows AS n_rows,
+               base.baseline_rows AS baseline_rows,
+               cur.n_rows - base.baseline_rows AS delta,
+               cur.n_rows < base.baseline_rows AS shrunk
+        FROM cur JOIN base USING (tbl)
     """
     sql["url_template"] = """
         SELECT doc_id,

@@ -17,28 +17,16 @@ from pyspark.sql import functions as F
 
 
 def composite_key(*parts: Column | str, bits: int = 256) -> Column:
-    """sha2 hash of '\\x1f'-joined parts; array-typed parts are sorted
-    first (the reference's sorted(with_record), src/etl/disease_etl.py:421)
-    so key stability does not depend on input order. Nulls encode as ''."""
+    """sha2 hash of '\\x1f'-joined SCALAR parts (nulls encode as '').
+    Set-valued parts must be pre-canonicalized with `sorted_array_key`
+    (the reference's sorted(with_record), src/etl/disease_etl.py:421) —
+    a Column carries no schema pre-analysis, so array handling is the
+    caller's explicit choice, not a silent guess."""
     cols = []
     for p in parts:
         c = F.col(p) if isinstance(p, str) else p
-        # arrays: sort then join; scalars: cast to string
-        cols.append(
-            F.when(c.isNull(), F.lit(""))
-            .otherwise(
-                F.array_join(F.array_sort(c), "\x1e")
-                if _is_array_like(c)
-                else c.cast("string")
-            )
-        )
+        cols.append(F.when(c.isNull(), F.lit("")).otherwise(c.cast("string")))
     return F.sha2(F.concat_ws("\x1f", *cols), bits)
-
-
-def _is_array_like(c: Column) -> bool:
-    # Column carries no schema pre-analysis; callers pass arrays through
-    # sorted_array_key() below instead. Kept for API clarity.
-    return False
 
 
 def sorted_array_key(c: Column | str) -> Column:

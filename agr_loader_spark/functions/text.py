@@ -60,3 +60,25 @@ def negation_flip(assoc: Column | str, negation: Column | str, flips: dict[str, 
     for pos, neg in flips.items():
         negated = F.when(a == pos, F.lit(neg)).otherwise(negated)
     return F.when(n.isNotNull() & (n != ""), negated).otherwise(a)
+
+
+def publication_id(c: Column | str) -> Column:
+    """T19: publication-id regex cascade. The reference tries, in order,
+    pubmed / DOI / FBrf patterns case-insensitively and rewrites the
+    scheme token of the first hit (src/etl/molecular_interaction_etl.py:
+    406-428: ('pubmed...'->'PMID', 'DOI'->'doi', 'flybase'->'FB'));
+    unresolvable -> NULL (the reference skips the row and tallies it).
+    One deviation, deliberate: the scheme rewrite here is
+    case-insensitive too (the reference's str.replace would leave
+    'PubMed:1' unrewritten after a case-insensitive match — a quirk, not
+    a semantic)."""
+    col = F.col(c) if isinstance(c, str) else c
+    pm = F.regexp_extract(col, r"(?i)(pubmed:\d+)", 1)
+    doi = F.regexp_extract(col, r"(?i)^((?:DOI:)?\d{2}\.\d{4}.*)$", 1)
+    fb = F.regexp_extract(col, r"(?i)^(flybase:FBrf\d+)", 1)
+    return (
+        F.when(pm != "", F.regexp_replace(pm, r"(?i)pubmed", "PMID"))
+        .when(doi != "", F.regexp_replace(doi, r"(?i)DOI", "doi"))
+        .when(fb != "", F.regexp_replace(fb, r"(?i)flybase", "FB"))
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -342,6 +342,49 @@ class LakeTable:
         cores = self.spark.sparkContext.defaultParallelism
         return max(1, min(n_touched, 4 * cores))
 
+    def _partition_salts(self, p: int) -> list[int]:
+        """For each shuffle partition i in [0, p): an int value v with
+        pmod(murmur3(v), p) == i. Spark's DataFrame repartition cannot
+        place by value directly — HashPartitioning re-hashes the
+        expression — so we probe Spark's own hash once (tiny driver-side
+        job, cached per (session, p)) and salt through it. Lets the fold
+        put EXACTLY ceil(touched/p) buckets in every partition instead
+        of the ~2x spread of hashing 64 small distinct keys, which was
+        the fold stage's wave-tail at high parallelism."""
+        cache = getattr(self, "_salt_cache", None)
+        if cache is not None and cache[0] == p:
+            return cache[1]
+        need = p
+        found: dict[int, int] = {}
+        probe = 0
+        while len(found) < need and probe < 64 * p:
+            batch = list(range(probe, probe + 8 * p))
+            probe += 8 * p
+            rows = self.spark.createDataFrame(
+                [(v,) for v in batch], "v int"
+            ).select("v", F.pmod(F.hash(F.col("v")), F.lit(p)).alias("t")).collect()
+            for r in rows:
+                found.setdefault(int(r["t"]), int(r["v"]))
+        salts = [found[i] for i in range(p)]
+        self._salt_cache = (p, salts)
+        return salts
+
+    def balanced_fold_repartition(self, df: DataFrame, n_touched: int) -> DataFrame:
+        """Repartition a prepared changeset for the bucket fold with a
+        BALANCED bucket->partition assignment: bucket b goes to partition
+        b % p (via the salt probe above), so fold waves have no
+        straggler partitions carrying 2-3x the buckets of others."""
+        p = self.fold_partitions(n_touched)
+        if p <= 1:
+            return df.repartition(1)
+        salts = self._partition_salts(p)
+        by_bucket = F.array(*[F.lit(salts[b % p]) for b in range(self.n_buckets)])
+        # __pk is kept as a COLUMN and later leads the fold's groupBy:
+        # HashPartitioning([__pk]) then satisfies ClusteredDistribution(
+        # [__pk, bucket]) — same one-shuffle plan, balanced placement.
+        return df.withColumn("__pk", F.element_at(by_bucket, F.col(BUCKET_COL) + 1)) \
+                 .repartition(p, F.col("__pk"))
+
     def prepare_changes(self, changes: DataFrame, lsn_col: str, n_touched: int) -> DataFrame:
         """Stage-1 of the arrow merge as a standalone frame: cast to the
         current schema, add the bucket column, repartition for the fold.
@@ -417,10 +460,12 @@ class LakeTable:
             bucket_col=BUCKET_COL,
             update_only=(mode == "update_only"),
         )
-        # hash(bucket, n) partitioning from prepare_changes satisfies the
-        # groupBy's clustered distribution, so no second shuffle here.
+        # the prepared partitioning satisfies the groupBy's clustered
+        # distribution (hash(bucket) directly, or hash(__pk) leading the
+        # grouping for the balanced layout), so no second shuffle here.
+        group_cols = (["__pk"] if "__pk" in changes.columns else []) + [BUCKET_COL]
         manifests = (
-            changes.groupBy(BUCKET_COL)
+            changes.groupBy(*group_cols)
             .applyInPandas(fold, schema=MANIFEST_SCHEMA)
             .collect()
         )
@@ -459,6 +504,45 @@ class LakeTable:
         self._commit(m)
         self._m = m
         return {"skipped": False, **lin}
+
+    def audit_changes(
+        self, changes: DataFrame, audit_path: str | None = None
+    ) -> DataFrame:
+        """K11 dry-run sink: classify a changeset against CURRENT state
+        without committing anything — the engine's answer to the
+        reference's CSV staging hop, where every would-be mutation is a
+        file a human can inspect before the DB load
+        (src/transactors/csv_transactor.py:14-57). Returns one row per
+        change: (__op, <key>, bucket, action) with action in
+        {insert, update, delete, delete_absent}; ``audit_path`` persists
+        the audit frame as parquet for offline review.
+
+        Scale: reads only the buckets the changeset touches and joins
+        just the key column (left join on co-hashed keys), so the audit
+        costs O(changeset + touched-bucket keys), not O(state)."""
+        s = changes.select(
+            F.col(self.key), F.col(OP_COL),
+            self._bucket_expr(F.col(self.key)).alias("bucket"),
+        )
+        touched = [r[0] for r in s.select("bucket").distinct().collect()]
+        existing = self.read(buckets=touched).select(
+            F.col(self.key), F.lit(True).alias("__matched")
+        )
+        out = (
+            s.join(existing, self.key, "left")
+            .select(
+                OP_COL, self.key, "bucket",
+                F.when((F.col(OP_COL) == "D") & F.col("__matched").isNotNull(), "delete")
+                .when(F.col(OP_COL) == "D", "delete_absent")
+                .when(F.col("__matched").isNotNull(), "update")
+                .otherwise("insert")
+                .alias("action"),
+            )
+        )
+        if audit_path is not None:
+            out.write.mode("overwrite").parquet(audit_path)
+            out = self.spark.read.parquet(audit_path)
+        return out
 
     def delete_where(self, predicate, epoch_key: str,
                      lineage: dict | None = None) -> dict:

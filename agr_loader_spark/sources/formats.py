@@ -205,3 +205,76 @@ def read_xml_records(
         ]
     )
     return files.select("path", "content").mapInPandas(parse, schema=schema)
+
+
+# --------------------------------------------------------------- PSI-MI TAB
+MITAB_COLUMNS = [
+    "id_a", "id_b", "alt_id_a", "alt_id_b", "alias_a", "alias_b",
+    "detection_method", "first_author", "publication_ids", "taxid_a",
+    "taxid_b", "interaction_types", "source_databases", "interaction_ids",
+    "confidence", "expansion", "bio_role_a", "bio_role_b", "exp_role_a",
+    "exp_role_b", "type_a", "type_b", "xref_a", "xref_b", "xref_interaction",
+]
+
+
+def mi_curie(col, default: str | None = None):
+    """The quoted MI identifier inside a PSI-MI field —
+    `psi-mi:"MI:0469"(name)` -> `MI:0469` (the reference greps
+    r'\"([^\"]*)\"' per row and falls back to a default on IndexError,
+    src/etl/molecular_interaction_etl.py:504-533)."""
+    c = F.col(col) if isinstance(col, str) else col
+    hit = F.regexp_extract(c, r'"([^"]*)"', 1)
+    out = F.when(hit != "", hit)
+    return out.otherwise(F.lit(default)) if default is not None else out
+
+
+def taxon_curie(col):
+    """`taxid:7227(fly)` -> `NCBITaxon:7227`
+    (molecular_interaction_etl.py:485-492)."""
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.regexp_extract(c, r"(\d+)", 1)
+    return F.when(digits != "", F.concat(F.lit("NCBITaxon:"), digits))
+
+
+def split_multivalue(col):
+    """Pipe-separated PSI-MI multi-value field -> array ('-' and empty ->
+    empty array), for explode() consumers."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNull() | (c == "-") | (c == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(c, r"\|"))
+
+
+def read_psimi_tab(spark: SparkSession, path: str) -> DataFrame:
+    """S8: PSI-MI TAB (mitab 2.5/2.7) scan with the reference's field
+    semantics packaged as columns (src/etl/molecular_interaction_etl.py:
+    460-560): '#' comment rows skipped in-scan, quoted-MI extraction
+    with the reference's defaults (detection 'MI:0686', roles/types
+    'MI:0499'), taxon curies with the '-' -> self-interaction fallback,
+    and publication resolution via the T19 regex cascade. Multi-value
+    columns stay raw; use `split_multivalue` + explode downstream.
+    """
+    from ..functions.text import publication_id
+
+    df = spark.read.option("sep", "\t").option("comment", "#").csv(path)
+    df = df.toDF(*MITAB_COLUMNS[: len(df.columns)],
+                 *[f"extra_{i}" for i in range(max(0, len(df.columns) - len(MITAB_COLUMNS)))])
+    taxon_a = taxon_curie("taxid_a")
+    out = df.withColumns({
+        "detection_mi": mi_curie("detection_method", default="MI:0686"),
+        "source_db_mi": mi_curie("source_databases"),
+        "interaction_type_mi": mi_curie("interaction_types"),
+        "taxon_a_curie": taxon_a,
+        "taxon_b_curie": F.when(
+            F.col("taxid_b") == "-", taxon_a
+        ).otherwise(taxon_curie("taxid_b")),
+        "publication": publication_id(F.col("publication_ids")),
+    })
+    if "exp_role_a" in out.columns:
+        out = out.withColumns({
+            "role_a_mi": mi_curie("exp_role_a", default="MI:0499"),
+            "role_b_mi": mi_curie("exp_role_b", default="MI:0499"),
+            "type_a_mi": mi_curie("type_a", default="MI:0499"),
+            "type_b_mi": mi_curie("type_b", default="MI:0499"),
+        })
+    return out

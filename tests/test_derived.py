@@ -64,3 +64,25 @@ def test_obo_to_closure_to_rollup(spark, tmproot, tmp_path):
         ("GO:3", "GO:1"), ("GO:3", "GO:3"),
         ("GO:4", "GO:1"), ("GO:4", "GO:3"),
     }
+
+
+def test_count_regression_report(spark):
+    """A1: per-label delta + shrink flag; labels missing on either side."""
+    from agr_loader_spark.operators.counts import count_regression_report
+
+    cur = spark.createDataFrame(
+        [("gene", 100), ("allele", 80), ("new_label", 5)], "tbl string, n_rows long"
+    )
+    base = spark.createDataFrame(
+        [("gene", 90), ("allele", 100), ("gone_label", 7)], "tbl string, n_rows long"
+    )
+    got = {r["label"]: r.asDict() for r in
+           count_regression_report(cur, base).collect()}
+    assert got["gene"]["delta"] == 10 and not got["gene"]["shrunk"]
+    assert got["allele"]["delta"] == -20 and got["allele"]["shrunk"]
+    assert got["new_label"]["baseline_rows"] == 0 and not got["new_label"]["shrunk"]
+    assert got["gone_label"]["n_rows"] == 0 and got["gone_label"]["shrunk"]
+    # 10% tolerance forgives a 5% shrink
+    tol = {r["label"]: r["shrunk"] for r in
+           count_regression_report(cur, base, tolerance=0.25).collect()}
+    assert not tol["allele"]

@@ -74,3 +74,65 @@ def test_xml_record_scan(spark, tmp_path):
     by_loc = {r["children"]["loc"]: r["children"] for r in urls}
     assert set(by_loc) == {"https://x.org/a", "https://x.org/b"}
     assert by_loc["https://x.org/a"]["lastmod"] == "2024-01-01"
+
+
+def test_psimi_tab_reader(spark, tmproot):
+    """S8: quoted-MI extraction w/ defaults, taxon fallback, pub-id
+    cascade, pipe multi-value split (molecular_interaction_etl.py:460-560)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from agr_loader_spark.sources.formats import read_psimi_tab, split_multivalue
+
+    p = os.path.join(tmproot, "x.mitab")
+    r1 = "\t".join([
+        "uniprotkb:P1", "uniprotkb:P2", "-", "-", "alias1|alias2", "-",
+        'psi-mi:"MI:0018"(two hybrid)', "auth (2020)", "pubmed:12345|mint:x",
+        "taxid:7227(fly)", "-", 'psi-mi:"MI:0915"(physical)',
+        'psi-mi:"MI:0478"(flybase)', "intact:EBI-1|flybase:FB-1", "score:0.9",
+        "-", "-", "-", 'psi-mi:"MI:0496"(bait)', 'psi-mi:"MI:0498"(prey)',
+        'psi-mi:"MI:0326"(protein)', 'psi-mi:"MI:0326"(protein)', "-", "-", "-",
+    ])
+    r2 = "\t".join([
+        "wb:WBGene1", "wb:WBGene2", "-", "-", "-", "-",
+        "-", "-", "flybase:FBrf0123", "taxid:6239(worm)", "taxid:6239(worm)",
+        "-", "-", "-", "-", "-", "-", "-", "-", "-", "-", "-", "-", "-", "-",
+    ])
+    with open(p, "w") as f:
+        f.write("# File generated (UTC): 2024-01-01\n" + r1 + "\n" + r2 + "\n")
+    rows = {r["id_a"]: r for r in read_psimi_tab(spark, p).collect()}
+    a, b = rows["uniprotkb:P1"], rows["wb:WBGene1"]
+    assert a["detection_mi"] == "MI:0018" and b["detection_mi"] == "MI:0686"
+    assert a["source_db_mi"] == "MI:0478" and b["source_db_mi"] is None
+    assert a["taxon_a_curie"] == "NCBITaxon:7227"
+    assert a["taxon_b_curie"] == "NCBITaxon:7227", "'-' falls back to taxon A"
+    assert b["taxon_b_curie"] == "NCBITaxon:6239"
+    assert a["publication"] == "PMID:12345" and b["publication"] == "FB:FBrf0123"
+    assert a["role_a_mi"] == "MI:0496" and b["role_a_mi"] == "MI:0499"
+    assert a["type_a_mi"] == "MI:0326" and b["type_b_mi"] == "MI:0499"
+    ids = read_psimi_tab(spark, p).select(
+        F.explode(split_multivalue("interaction_ids")).alias("x")
+    )
+    assert {r["x"] for r in ids.collect()} == {"intact:EBI-1", "flybase:FB-1"}
+
+
+def test_publication_id_cascade(spark):
+    """T19 unit: priority order + case-insensitivity + NULL fallthrough."""
+    import pyspark.sql.functions as F
+
+    from agr_loader_spark.functions.text import publication_id
+
+    cases = [
+        ("pubmed:99", "PMID:99"),
+        ("PubMed:7", "PMID:7"),
+        ("DOI:10.1234/abc", "doi:10.1234/abc"),
+        ("10.5555/xyz", "10.5555/xyz"),
+        ("flybase:FBrf0042", "FB:FBrf0042"),
+        ("pubmed:5|doi:10.1/x", "PMID:5"),  # first pattern wins
+        ("wormbase:WBPaper1", None),
+        ("-", None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "raw string")
+    got = [r["p"] for r in df.select(publication_id("raw").alias("p")).collect()]
+    assert got == [c[1] for c in cases]

@@ -211,3 +211,24 @@ def test_delete_where_predicate(spark, tmproot):
     # no matches -> noop commit, state intact
     r2 = t.delete_where("source = 'NOPE'", epoch_key="2:0")
     assert r2["n_deletes"] == 0 and t.read().count() == len(left)
+
+
+def test_audit_changes_dry_run(spark, tmproot):
+    """K11: changeset classification without commit; state untouched."""
+    t = _mk(spark, tmproot)
+    t.merge(_changes(spark, [("a", [1], 1, "FB", "U"), ("b", [2], 1, "WB", "U")]), "0:0")
+    sid = t.snapshot_id
+    audit = t.audit_changes(
+        _changes(spark, [("a", [9], 1, "FB", "U"),     # update
+                         ("c", [3], 1, "MGI", "U"),    # insert
+                         ("b", None, None, None, "D"),  # delete
+                         ("zz", None, None, None, "D")]),  # delete_absent
+        audit_path=tmproot + "/audit",
+    )
+    got = {r["doc_id"]: r["action"] for r in audit.collect()}
+    assert got == {"a": "update", "c": "insert", "b": "delete", "zz": "delete_absent"}
+    # nothing committed
+    assert t.snapshot_id == sid
+    assert {r["doc_id"] for r in t.read().collect()} == {"a", "b"}
+    # audit parquet persisted for offline review
+    assert spark.read.parquet(tmproot + "/audit").count() == 4

@@ -109,3 +109,33 @@ def test_format_scans(spark, tmp_path):
     rows = {r["id"]: r for r in terms.collect()}
     assert set(rows) == {"GO:1", "GO:2"}
     assert rows["GO:2"]["is_a"] == ["GO:1"] and rows["GO:2"]["subsets"] == ["goslim_agr"]
+
+
+def test_hgvs_nomenclature_matches_reference_semantics(spark):
+    """T14: column cascade reproduces get_hgvs_nomenclature
+    (src/etl/variation_etl.py:194-237) for all 5 SO families, the
+    unknown-type empty result, and null position/sequence formatting."""
+    from agr_loader_spark.functions.hgvs import hgvs_nomenclature, hgvs_synonym
+
+    rows = [
+        # (refseq, vtype, start, end, ref, var, expect_hgvs, expect_syn)
+        ("RefSeq:NM_1", "SO:1000002", 10, 10, "A", "T", "NM_1:g.10A>T", "(R6)2L:10A>T"),
+        ("RefSeq:NM_2", "SO:1000008", 7, 7, "G", "C", "NM_2:g.7G>C", "(R6)2L:7G>C"),
+        ("RefSeq:NM_3", "SO:0000667", 5, 6, "A", "GG", "NM_3:g.5_6insGG", "(R6)2L:5_6insGG"),
+        ("RefSeq:NM_4", "SO:0000159", 5, 9, "ACGTA", None, "NM_4:g.5_9del", "(R6)2L:5_9del"),
+        ("RefSeq:NM_5", "SO:0002007", 5, 7, "ACG", "TTT", "NM_5:g.5_7delinsTTT", "(R6)2L:5_7delinsTTT"),
+        ("RefSeq:NM_6", "SO:1000032", 5, 7, "ACG", "TT", "NM_6:g.5_7delinsTT", "(R6)2L:5_7delinsTT"),
+        ("RefSeq:NM_7", "SO:9999999", 5, 7, "A", "T", "", ""),
+        ("RefSeq:NM_8", "SO:1000002", None, None, None, None, "NM_8:g.>", "(R6)2L:>"),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+        "refseq string, vt string, s int, e int, ref string, var string",
+    )
+    got = df.select(
+        hgvs_nomenclature("refseq", "vt", "s", "e", "ref", "var").alias("h"),
+        hgvs_synonym(F.lit("R6"), F.lit("2L"), "vt", "s", "e", "ref", "var").alias("syn"),
+    ).collect()
+    for r, g in zip(rows, got):
+        assert g["h"] == r[6], r[0]
+        assert g["syn"] == r[7], r[0]
