@@ -31,7 +31,7 @@ from .functions.keys import composite_key, sorted_array_key
 from .functions.text import negation_flip
 from .lake.table import OP_COL, LakeTable
 from .operators.dedup import lww_reduce
-from .operators.fk_guard import fk_guard
+from .operators.fk_guard import fk_guard_observed
 from .schema import SOURCES
 
 ENTITY_EVENT_SCHEMA = T.StructType([
@@ -145,18 +145,31 @@ class MultiEntityRunner:
             return {"epoch_key": key, "skipped": True}
         a = ev.filter(F.col("entity") == "allele")
         latest = lww_reduce(a, key="primary_id", order_col="event_lsn")
-        # FK guard on the surviving upsert rows; deletes always pass
+        # one stats pass: the changeset's own buckets (handed to merge so
+        # it skips its touched-bucket collect) AND the gene-dim buckets the
+        # FK values hash into (so the guard reads only touched dim buckets,
+        # not the whole gene table — at 100 TB the dim scan dominates)
+        gene_t = self.tables["gene"]
+        stats = latest.agg(
+            F.collect_set(t._bucket_expr(F.col("primary_id"))).alias("kb"),
+            F.collect_set(F.when(F.col("op") != "D",
+                                 gene_t._bucket_expr(F.col("gene_id")))).alias("fb"),
+        ).first()
+        # FK guard on the surviving upsert rows; deletes always pass.
+        # Reject count rides the merge's write action as an Observation —
+        # no separate count job per epoch.
         ups = latest.filter(F.col("op") != "D")
         dels = latest.filter(F.col("op") == "D")
-        kept, rejected = fk_guard(ups, self.tables["gene"].read(),
-                                  fk="gene_id", dim_key="primary_id",
-                                  keep_null_fk=True)
-        n_rejected = rejected.count()
+        kept, obs = fk_guard_observed(
+            ups, gene_t.read(buckets=stats["fb"]), fk="gene_id",
+            dim_key="primary_id", obs_name=f"fk_{key}", keep_null_fk=True)
         names = [c for c, _, _ in ALLELE_COLUMNS]
         op = F.when(F.col("op") == "D", "D").otherwise("U").alias(OP_COL)
         changes = kept.unionByName(dels).select(*names, op)
-        return t.merge(changes, epoch_key=key,
-                       lineage={"table": "allele", "n_fk_rejected": n_rejected})
+        return t.merge(
+            changes, epoch_key=key, touched_buckets=stats["kb"],
+            lineage={"table": "allele",
+                     "n_fk_rejected": lambda: int(obs.get["n_rejected"] or 0)})
 
     def _merge_disease(self, epoch: int, ev: DataFrame) -> dict:
         t = self.tables["disease_annotation"]
@@ -172,19 +185,29 @@ class MultiEntityRunner:
             )
         )
         latest = lww_reduce(d, key="annotation_key", order_col="event_lsn")
+        gene_t, allele_t = self.tables["gene"], self.tables["allele"]
+        stats = latest.agg(
+            F.collect_set(t._bucket_expr(F.col("annotation_key"))).alias("kb"),
+            F.collect_set(F.when(F.col("op") != "D",
+                                 gene_t._bucket_expr(F.col("object_id")))).alias("gb"),
+            F.collect_set(F.when(F.col("op") != "D",
+                                 allele_t._bucket_expr(F.col("object_id")))).alias("ab"),
+        ).first()
         ups = latest.filter(F.col("op") != "D")
         dels = latest.filter(F.col("op") == "D")
         dim = (
-            self.tables["gene"].read().select(F.col("primary_id"))
-            .unionByName(self.tables["allele"].read().select(F.col("primary_id")))
+            gene_t.read(buckets=stats["gb"]).select(F.col("primary_id"))
+            .unionByName(allele_t.read(buckets=stats["ab"]).select(F.col("primary_id")))
         )
-        kept, rejected = fk_guard(ups, dim, fk="object_id", dim_key="primary_id")
-        n_rejected = rejected.count()
+        kept, obs = fk_guard_observed(ups, dim, fk="object_id",
+                                      dim_key="primary_id", obs_name=f"fk_{key}")
         names = [c for c, _, _ in DISEASE_COLUMNS]
         op = F.when(F.col("op") == "D", "D").otherwise("U").alias(OP_COL)
         changes = kept.unionByName(dels).select(*names, op)
-        return t.merge(changes, epoch_key=key,
-                       lineage={"table": "disease_annotation", "n_fk_rejected": n_rejected})
+        return t.merge(
+            changes, epoch_key=key, touched_buckets=stats["kb"],
+            lineage={"table": "disease_annotation",
+                     "n_fk_rejected": lambda: int(obs.get["n_rejected"] or 0)})
 
 
 # ---------------------------------------------------------------- generator

@@ -58,6 +58,13 @@ OP_COL = "__op"
 BUCKET_COL = "__bucket"
 
 
+def _resolve_lineage(lineage: dict | None) -> dict:
+    """Callers may pass deferred lineage values (zero-arg callables, e.g.
+    an ``Observation`` read) that are only valid AFTER the commit's write
+    action ran — resolve them here, at the post-action lineage build."""
+    return {k: (v() if callable(v) else v) for k, v in (lineage or {}).items()}
+
+
 @dataclass
 class ColumnSpec:
     id: int
@@ -318,7 +325,7 @@ class LakeTable:
                 ]
             new_buckets[str(b)] = files
 
-        lin = dict(lineage or {})
+        lin = _resolve_lineage(lineage)
         lin.update(
             {
                 "epoch_key": epoch_key,
@@ -487,7 +494,7 @@ class LakeTable:
                 "min_lsn": int(r["min_lsn"]), "max_lsn": int(r["max_lsn"]),
             }
 
-        lin = dict(lineage or {})
+        lin = _resolve_lineage(lineage)
         lin.update(
             {
                 "epoch_key": epoch_key,
@@ -600,7 +607,7 @@ class LakeTable:
                 ]
             new_buckets[str(b)] = files
 
-        lin = dict(lineage or {})
+        lin = _resolve_lineage(lineage)
         lin.update({
             "epoch_key": epoch_key, "snapshot_id": new_sid,
             "n_upserts": 0, "n_deletes": n_deletes, "buckets_touched": touched,
@@ -614,7 +621,10 @@ class LakeTable:
 
     def _commit_noop(self, epoch_key: str, lineage: dict | None) -> dict:
         new_sid = self.snapshot_id + 1
-        lin = dict(lineage or {})
+        # deferred lineage values are NOT resolved here: a noop commit ran
+        # no action, so an Observation-backed callable would block forever
+        lin = {k: (None if callable(v) else v)
+               for k, v in (lineage or {}).items()}
         lin.update({"epoch_key": epoch_key, "snapshot_id": new_sid,
                     "n_upserts": 0, "n_deletes": 0, "buckets_touched": []})
         m = self._child_manifest(new_sid, "merge-noop", epoch_key)

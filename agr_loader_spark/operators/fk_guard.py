@@ -42,6 +42,39 @@ def fk_guard(
     return kept, rejected
 
 
+def fk_guard_observed(
+    facts: DataFrame,
+    dim: DataFrame,
+    fk: str,
+    dim_key: str,
+    obs_name: str,
+    broadcast_dim: bool = True,
+    keep_null_fk: bool = False,
+):
+    """One-pass FK guard: returns (kept, observation). The reject count
+    is an ``Observation`` on the flagged join, populated by whatever
+    action consumes ``kept`` downstream (the merge commit) — no second
+    anti-join job per epoch, unlike `fk_guard`'s rejected frame. Read it
+    AFTER that action with ``int(obs.get["n_rejected"] or 0)``."""
+    from pyspark.sql import Observation
+
+    keys = (
+        dim.select(F.col(dim_key).alias(fk))
+        .dropDuplicates()
+        .withColumn("__fk_ok", F.lit(True))
+    )
+    if broadcast_dim:
+        keys = F.broadcast(keys)
+    ok = F.col("__fk_ok").isNotNull()
+    if keep_null_fk:
+        ok = ok | F.col(fk).isNull()
+    obs = Observation(obs_name)
+    flagged = facts.join(keys, on=fk, how="left").observe(
+        obs, F.sum(F.when(ok, 0).otherwise(1)).alias("n_rejected")
+    )
+    return flagged.filter(ok).drop("__fk_ok"), obs
+
+
 def reject_tally(rejected: DataFrame, by: str) -> DataFrame:
     """Error-key tally (SURVEY.md A6; analog of missing_keys/missing_pages
     dicts, src/etl/etl.py:30-46)."""

@@ -152,15 +152,21 @@ def sample_frames(
                 raise NotImplementedError(
                     "frame decode requires ffmpeg/pyav; plug the codec here"
                 )
+            is_video = (b["kind"] == "video").to_numpy()
+            # non-video passthrough is pure column ops (an image IS its
+            # only frame) — no per-row Python
+            passthru = b.loc[~is_video]
+            frames = [pd.DataFrame({
+                "media_id": passthru["media_id"],
+                "frame_idx": np.zeros(len(passthru), dtype=np.int32),
+                "frame_ts_ms": np.zeros(len(passthru), dtype=np.int32),
+                "frame": passthru["payload"],
+            })]
+            # per-payload frame slicing is inherently per-row (the codec
+            # consumes one payload at a time)
             out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
-            for _, row in b.iterrows():
+            for _, row in b.loc[is_video].iterrows():
                 payload = row["payload"]
-                if row["kind"] != "video":
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(0)
-                    out["frame_ts_ms"].append(0)
-                    out["frame"].append(payload)
-                    continue
                 dur = int(row["meta"]["duration_ms"] or 0)
                 k = max(1, min(n_frames, len(payload)))
                 step = len(payload) // k
@@ -169,6 +175,7 @@ def sample_frames(
                     out["frame_idx"].append(j)
                     out["frame_ts_ms"].append((dur * j) // k)
                     out["frame"].append(payload[j * step:(j + 1) * step])
-            yield pd.DataFrame(out)
+            frames.append(pd.DataFrame(out))
+            yield pd.concat(frames, ignore_index=True)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -37,6 +37,27 @@ def test_fk_guard_counts(spark):
     assert tally == {"gX": 1}
 
 
+def test_fk_guard_observed_one_pass(spark):
+    """One-pass variant: kept matches fk_guard; reject count arrives via
+    the Observation populated by whatever action consumes kept (no extra
+    count job)."""
+    from agr_loader_spark.operators.fk_guard import fk_guard_observed
+
+    facts = spark.createDataFrame(
+        [(1, "g1"), (2, "g2"), (3, "gX"), (4, None)], "id int, gene_id string"
+    )
+    dim = spark.createDataFrame([("g1",), ("g2",)], "primary_id string")
+    kept, obs = fk_guard_observed(facts, dim, fk="gene_id",
+                                  dim_key="primary_id", obs_name="fk_t1")
+    assert {r["id"] for r in kept.collect()} == {1, 2}
+    assert int(obs.get["n_rejected"]) == 2
+    kept2, obs2 = fk_guard_observed(facts, dim, fk="gene_id",
+                                    dim_key="primary_id", obs_name="fk_t2",
+                                    keep_null_fk=True)
+    assert {r["id"] for r in kept2.collect()} == {1, 2, 4}
+    assert int(obs2.get["n_rejected"]) == 1
+
+
 def test_composite_key_is_order_stable_for_arrays(spark):
     from agr_loader_spark.functions.keys import sorted_array_key
 
