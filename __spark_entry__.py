@@ -176,7 +176,15 @@ _EDGE_DOCS_SQL = (
 
 def _docs_with_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    edge = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    # VALUES (LocalRelation), NOT createDataFrame: the latter plans as a
+    # LogicalRDD whose size stat defaults to Long.Max, which poisons the
+    # union's stats and silently flips every downstream join from
+    # broadcast to sort-merge (measured 3x slower on ngram_jaccard)
+    edge = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"(CAST({i} AS LONG), '{t}')" for i, t in _EDGE_DOCS)
+        + " AS t(doc_id, text)"
+    )
     return d.unionByName(edge)
 
 
@@ -527,6 +535,54 @@ def q_sequence_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("interval_id", "start_pos", "end_pos", "seq")
 
 
+# ------------------------------------------------- split / sample / packing
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (md5 backend so the
+    oracle recomputes each row's bucket bit-for-bit)."""
+    from agr_loader_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, key="doc_id",
+                      weights={"train": 0.8, "val": 0.1, "test": 0.1},
+                      salt="split", method="md5")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap the 'en' stratum at 25%, keep the rest — deterministic subset."""
+    from agr_loader_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, key="doc_id", fractions={"en": 0.25},
+                             strata_col="lang", salt="sample", method="md5")
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing plan per source shard (window math,
+    SQL-expressible; the no-split next-fit variant is pytest-covered)."""
+    from agr_loader_spark.operators.sampling import pack_concat_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_concat_chunks(d, group_col="source", len_col="n_chars",
+                              id_col="doc_id", max_len=4096)
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agr_loader_spark.operators.textqc import token_histogram
+
+    return token_histogram(_t(spark, sf_dir, "documents"), min_freq=2)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap: eval = the doc_id % 101 == 0 slice standing in
+    for a benchmark set; bigram containment of each eval doc."""
+    from agr_loader_spark.operators.dedup_docs import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 101 == 0)
+    return contamination_pairs(d, ev, n=2, min_common=2)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -570,6 +626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pubid_cascade": q_pubid_cascade,
         "url_template": q_url_template,
         "sequence_slice": q_sequence_slice,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_chunks": q_pack_chunks,
+        "token_histogram": q_token_histogram,
+        "contamination": q_contamination,
     }
 
 
@@ -995,5 +1056,59 @@ def oracle_sql() -> dict[str, str]:
                substr(text, start_pos,
                       CAST(least(start_pos + 59, n_chars) AS INT) - start_pos + 1) AS seq
         FROM iv
+    """
+    sql["hash_split"] = """
+        SELECT doc_id,
+               CASE WHEN b < 838860 THEN 'train'
+                    WHEN b < 943718 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT AS b
+              FROM documents) t
+    """
+    sql["stratified_sample"] = """
+        SELECT doc_id, lang
+        FROM (SELECT doc_id, lang,
+                     ('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT AS b
+              FROM documents) t
+        WHERE b < CASE WHEN lang = 'en' THEN 262144 ELSE 1048576 END
+    """
+    sql["pack_chunks"] = """
+        WITH c AS (
+            SELECT doc_id, source, n_chars,
+                   sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM documents)
+        SELECT doc_id, source, n_chars,
+               CAST(floor((cum - n_chars) * 1.0 / 4096) AS BIGINT) AS chunk_id,
+               CAST((cum - n_chars) % 4096 AS BIGINT) AS chunk_offset,
+               floor((cum - 1) * 1.0 / 4096) > floor((cum - n_chars) * 1.0 / 4096)
+                   AS spans_boundary
+        FROM c
+    """
+    sql["token_histogram"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents)
+        SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM toks WHERE token <> ''
+        GROUP BY token HAVING count(*) >= 2
+    """
+    sql["contamination"] = """
+        WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS s
+               FROM toks),
+        ev AS (SELECT * FROM sh WHERE doc_id % 101 = 0),
+        sz AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY doc_id),
+        c AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_common
+              FROM sh t JOIN ev e USING (s)
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT train_id, eval_id, n_common,
+               round(n_common * 1.0 / sz.n, 6) AS containment
+        FROM c JOIN sz ON sz.doc_id = c.eval_id
     """
     return sql

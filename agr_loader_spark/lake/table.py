@@ -342,12 +342,25 @@ class LakeTable:
         self._m = m
         return {"skipped": False, **lin}
 
-    def fold_partitions(self, n_touched: int) -> int:
+    # per-fold-task row budget: keeps the applyInPandas task's pandas
+    # working set bounded (~a few hundred MB) independent of commit
+    # interval, so large segments amortize the per-commit floor WITHOUT
+    # spilling small executors (the 12M-event-epoch spill in
+    # BENCH/BASELINE.md). Beyond n_buckets tasks the unit of fold
+    # granularity is exhausted — at that point the production knob is a
+    # larger n_buckets, not more partitions.
+    ROWS_PER_FOLD_TASK = 600_000
+
+    def fold_partitions(self, n_touched: int, n_rows: int | None = None) -> int:
         """Fold task granularity: enough partitions to balance bucket-size
-        variance across the cluster (4x cores), but never more than the
+        variance across the cluster (4x cores) AND to keep per-task rows
+        under ROWS_PER_FOLD_TASK (spill-aware), but never more than the
         touched-bucket count (each extra task is an Arrow round-trip)."""
         cores = self.spark.sparkContext.defaultParallelism
-        return max(1, min(n_touched, 4 * cores))
+        want = 4 * cores
+        if n_rows:
+            want = max(want, -(-int(n_rows) // self.ROWS_PER_FOLD_TASK))
+        return max(1, min(n_touched, want))
 
     def _partition_salts(self, p: int) -> list[int]:
         """For each shuffle partition i in [0, p): an int value v with
@@ -376,12 +389,14 @@ class LakeTable:
         self._salt_cache = (p, salts)
         return salts
 
-    def balanced_fold_repartition(self, df: DataFrame, n_touched: int) -> DataFrame:
+    def balanced_fold_repartition(
+        self, df: DataFrame, n_touched: int, n_rows: int | None = None
+    ) -> DataFrame:
         """Repartition a prepared changeset for the bucket fold with a
         BALANCED bucket->partition assignment: bucket b goes to partition
         b % p (via the salt probe above), so fold waves have no
         straggler partitions carrying 2-3x the buckets of others."""
-        p = self.fold_partitions(n_touched)
+        p = self.fold_partitions(n_touched, n_rows)
         if p <= 1:
             return df.repartition(1)
         salts = self._partition_salts(p)
@@ -392,7 +407,8 @@ class LakeTable:
         return df.withColumn("__pk", F.element_at(by_bucket, F.col(BUCKET_COL) + 1)) \
                  .repartition(p, F.col("__pk"))
 
-    def prepare_changes(self, changes: DataFrame, lsn_col: str, n_touched: int) -> DataFrame:
+    def prepare_changes(self, changes: DataFrame, lsn_col: str, n_touched: int,
+                        n_rows: int | None = None) -> DataFrame:
         """Stage-1 of the arrow merge as a standalone frame: cast to the
         current schema, add the bucket column, repartition for the fold.
         Used by the runner to PIPELINE the next micro-batch's scan+shuffle
@@ -405,7 +421,9 @@ class LakeTable:
             F.col(OP_COL),
             F.col(lsn_col).cast("long").alias(lsn_col),
         ).withColumn(BUCKET_COL, self._bucket_expr(F.col(self.key)))
-        return prepared.repartition(self.fold_partitions(n_touched), F.col(BUCKET_COL))
+        return prepared.repartition(
+            self.fold_partitions(n_touched, n_rows), F.col(BUCKET_COL)
+        )
 
     def merge_arrow(
         self,

@@ -364,3 +364,48 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -------------------------------------------------------- contamination
+def contamination_pairs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_common: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval contamination check: for every (train doc, eval doc)
+    pair sharing >= min_common distinct word n-grams, emit
+    (train_id, eval_id, n_common, containment) where containment =
+    n_common / |eval doc's shingle set| — the fraction of the eval
+    document already present verbatim-ish in the training corpus.
+
+    Scale shape: the EVAL side is the small one (benchmarks are KBs-MBs
+    against a 100 TB corpus), so its exploded shingle table is
+    broadcast — the train corpus streams through a map-side hash join
+    with NO shuffle of the big side; the only shuffle is the per-pair
+    count aggregation, bounded by the number of matches. Sub-n-token
+    docs contribute no shingles on either side (the _gram_array guard).
+    """
+    tr = shingles(train, text_col, id_col, n).select(
+        F.col(id_col).alias("train_id"), F.xxhash64("shingle").alias("h")
+    )
+    ev_sh = shingles(eval_docs, text_col, id_col, n).select(
+        F.col(id_col).alias("eval_id"), F.xxhash64("shingle").alias("h")
+    )
+    ev_sz = ev_sh.groupBy("eval_id").agg(F.count("*").alias("n_eval_sh"))
+    if broadcast_eval:
+        ev_sh, ev_sz = F.broadcast(ev_sh), F.broadcast(ev_sz)
+    return (
+        tr.join(ev_sh, on="h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .join(ev_sz, on="eval_id")
+        .select(
+            "train_id", "eval_id", "n_common",
+            F.round(F.col("n_common") / F.col("n_eval_sh"), 6).alias("containment"),
+        )
+    )

@@ -136,3 +136,26 @@ def document_profile(docs: DataFrame) -> DataFrame:
         quality_score("text", "n_chars").alias("quality"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
+
+
+def token_histogram(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_freq: int = 1,
+) -> DataFrame:
+    """Corpus token-frequency table: (token, n_occurrences, n_docs).
+    The vocabulary/frequency pass every tokenizer-training or
+    stopword-mining pipeline runs. One explode + one groupBy shuffle;
+    partial (map-side) aggregation collapses each partition's repeats
+    before the shuffle, so the shuffle volume is bounded by
+    distinct-tokens-per-partition, not corpus tokens."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_freq)
+    )

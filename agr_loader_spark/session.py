@@ -67,6 +67,17 @@ def get_spark(
         # fold's shuffle reads benefit from PROCESS_LOCAL placement (0s
         # scatters tasks and turns local shuffle reads into remote fetches,
         # 4-exec replay wall 27s -> 33s on the scaling input)
+        # scan-task granularity, env-overridable per workload: the
+        # few-core-executor replay measures best at 32m (4x1-exec leg
+        # 87s -> 66s, 1-exec unchanged — tools/run_scaling_r2.sh sets
+        # it), but the default stays at Spark's 128m: the wide local[32]
+        # analytics queries measure WORSE with small splits (warm
+        # ngram_jaccard at sf0.1: 9s @128m vs 28s @32m — the extra scan
+        # partitions cascade into shuffle fragmentation under AQE).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", "128m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

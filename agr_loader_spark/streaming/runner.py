@@ -190,7 +190,8 @@ class ReplayRunner:
         self._base_cache = (sv, base)
         return base
 
-    def _segment_prepared(self, epoch: int, lo, hi, n_touched: int) -> DataFrame:
+    def _segment_prepared(self, epoch: int, lo, hi, n_touched: int,
+                          n_rows: int | None = None) -> DataFrame:
         """Segment slice of the cached base, shuffled for the fold. The
         filter sits BELOW the repartition by construction, so the
         epoch-partition pruning still reaches the scan and the shuffle
@@ -204,7 +205,7 @@ class ReplayRunner:
         if hi is not None:
             cond = cond & (F.col("event_lsn") < hi)
         seg = base.filter(cond).drop("epoch")
-        return self.table.balanced_fold_repartition(seg, n_touched)
+        return self.table.balanced_fold_repartition(seg, n_touched, n_rows)
 
     def _prepare(self, epoch: int, seg: int, lo, hi, stats):
         """Stage-1 (scan -> project -> shuffle) of a data segment,
@@ -215,7 +216,9 @@ class ReplayRunner:
         touched = st["buckets"] if st is not None else []
         events = self._segment_events(epoch, lo, hi)
         changes = plan_changeset(events, self.table, keep_cols=["event_lsn"])
-        prepared = self.table.prepare_changes(changes, "event_lsn", len(touched))
+        prepared = self.table.prepare_changes(
+            changes, "event_lsn", len(touched),
+            int(st["n_events"]) if st is not None else None)
         prepared = prepared.persist()
         prepared.count()  # materialize scan + shuffle
         return prepared
@@ -309,7 +312,8 @@ class ReplayRunner:
                 )
                 prepared.unpersist()
             else:
-                seg_df = self._segment_prepared(epoch, lo, hi, len(touched))
+                seg_df = self._segment_prepared(epoch, lo, hi, len(touched),
+                                                n_events or None)
                 result = self.table.merge_arrow(
                     seg_df, epoch_key=epoch_key, lsn_col="event_lsn",
                     lineage=lineage, touched_buckets=touched, prepared=True,

@@ -29,6 +29,7 @@ HEADLINE = [
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "text_profile",
     "doc_fingerprint", "ann_topk", "closure", "fk_guard_kept",
     "composite_key", "date_normalize", "sequence_slice",
+    "hash_split", "pack_chunks", "token_histogram", "contamination",
 ]
 
 # 4M events, 2M-event commit interval: small enough for a per-round run,

@@ -1,19 +1,22 @@
 #!/bin/bash
-# Final N-vs-4N protocol: 3 repetitions of 1-executor and 4-executor
+# Round-2 N-vs-4N protocol: 3 repetitions of 1-executor and 4-executor
 # replays (1 core each, separate JVMs, warmed) of the same 24M-event log.
+# Round-2 change vs round 1: single-epoch binlog (binlog1ep) + spill-aware
+# fold partitioning -> 4 data commits instead of 7, amortizing the fixed
+# per-commit floor that capped round-1 efficiency at ~0.73.
 set -u
 cd /root/repo
 export SPARK_LOCAL_DIRS_OVERRIDE=/tmp/spark_local SPARK_DRIVER_MEM=8g SPARK_BCAST_THRESHOLD=10m
+export SPARK_MAX_PARTITION_BYTES=32m  # measured: packs 4-exec scan waves, 1-exec neutral
 OUT=BENCH/scaling_r2.jsonl
 : > $OUT
-LOG=/tmp/scalbench/binlog6
+LOG=/tmp/scalbench/binlog1ep
 for rep in 1 2 3; do
   for e in 1 4; do
     rm -rf /tmp/scalbench/r2_${e}_${rep}
     # page-cache pre-warm: the protocol measures steady-state replay
     # compute (a 10^10-event run is cache-steady by construction), not
-    # the one-time cold read of the synthetic log — without this the
-    # first rep is disk-bound and rep-to-rep spread hits ~25%
+    # the one-time cold read of the synthetic log
     cat $LOG/*/*.parquet > /dev/null 2>&1
     out=$(SPARK_MASTER_OVERRIDE="local-cluster[${e},1,6144]" \
       python -m agr_loader_spark --workdir /tmp/scalbench \
