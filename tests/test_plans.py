@@ -81,3 +81,49 @@ def test_lww_reduce_has_semi_join_and_no_window_sort(spark):
     assert "LeftSemi" in plan and "Window" not in plan
     # the naive variant DOES window-sort — the contrast the default avoids
     assert "Window" in _plan(lww_reduce_window(df))
+
+
+def test_dedup_edge_union_keeps_broadcast_joins(spark):
+    """The edge-doc union must carry honest size stats: a LogicalRDD
+    branch (createDataFrame) defaults to Long.Max sizeInBytes and flips
+    every downstream dedup join from broadcast to sort-merge (measured
+    3x slower). Guard the VALUES-LocalRelation fix."""
+    import __spark_entry__ as e
+
+    df = e.q_ngram_jaccard(spark, SF)
+    df.count()  # AQE: final plan only exists after execution
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The big (train) side must never shuffle: eval shingles broadcast."""
+    import __spark_entry__ as e
+
+    df = e.q_contamination(spark, SF)
+    df.count()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_split_and_sample_are_shuffle_free(spark):
+    """hash_split / stratified_sample are row-local expressions: no
+    exchange at all, and no Python eval nodes."""
+    import __spark_entry__ as e
+
+    for q in (e.q_hash_split, e.q_stratified_sample):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_pack_chunks_single_group_shuffle(spark):
+    """Concat-chunk packing: exactly one exchange (by group) feeding the
+    per-group window — no global sort of the corpus."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_pack_chunks(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan  # a global orderBy would show this
