@@ -259,6 +259,18 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, bands=8, n_planes=32)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF path at nprobe == n_centroids: probing every inverted list is
+    exhaustive, so the result must EQUAL brute force — the oracle is the
+    exact-cosine SQL, while the query still exercises the full IVF
+    machinery (DataFrame Lloyd's, inverted-list probe, re-rank)."""
+    from agr_loader_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5,
+                    n_centroids=8, nprobe=8, iters=2)
+
+
 # ------------------------------------------------------ joins / guards / keys
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +585,29 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_histogram(_t(spark, sf_dir, "documents"), min_freq=2)
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup verdict: pairs -> components -> canonical keep.
+    Every unpaired doc is kept; in a near-dup cluster only the min id
+    survives. Oracle: recursive CTE components left-joined to the corpus."""
+    from agr_loader_spark.operators.clusters import dedup_corpus
+    from agr_loader_spark.operators.dedup_docs import ngram_jaccard_pairs
+
+    docs = _docs_with_edges(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=2)
+    return dedup_corpus(docs, pairs).select("doc_id", "component", "is_kept")
+
+
+def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split next-fit packing (greedy recurrence — inherently
+    sequential per group, not SQL-expressible: rows-only check; the
+    invariants are pytest-asserted in test_sampling)."""
+    from agr_loader_spark.operators.sampling import pack_sequences_nextfit
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences_nextfit(d, group_col="source", len_col="n_chars",
+                                  id_col="doc_id", max_len=4096)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval overlap: eval = the doc_id % 101 == 0 slice standing in
     for a benchmark set; bigram containment of each eval doc."""
@@ -629,8 +664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
+        "pack_nextfit": q_pack_nextfit,
         "token_histogram": q_token_histogram,
         "contamination": q_contamination,
+        "dedup_corpus": q_dedup_corpus,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1095,6 +1133,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM toks WHERE token <> ''
         GROUP BY token HAVING count(*) >= 2
+    """
+    # full-probe IVF is exhaustive -> must equal the exact-cosine result
+    sql["ivf_topk"] = sql["ann_topk"]
+    sql["dedup_corpus"] = f"""
+        WITH RECURSIVE documents2 AS ({_EDGE_DOCS_SQL}),
+        toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                 FROM documents2),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS s
+               FROM toks),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+              FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        p AS (SELECT doc_a, doc_b
+              FROM c JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+              WHERE nc * 1.0 / (x.n + y.n - nc) >= 0.5),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        r AS (SELECT u, u AS reach FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT e.u, r.reach FROM e JOIN r ON e.v = r.u),
+        comp AS (SELECT u AS doc_id, min(reach) AS component FROM r GROUP BY u)
+        SELECT d.doc_id,
+               coalesce(comp.component, d.doc_id) AS component,
+               d.doc_id = coalesce(comp.component, d.doc_id) AS is_kept
+        FROM documents2 d LEFT JOIN comp ON comp.doc_id = d.doc_id
     """
     sql["contamination"] = """
         WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
