@@ -135,14 +135,18 @@ def pack_concat_chunks(
     )
 
 
-_PACK_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("group", T.StringType()),
-        T.StructField("bin_id", T.LongType()),
-        T.StructField("bin_fill", T.LongType()),
-    ]
-)
+def _pack_schema(docs: DataFrame, id_col: str, group_col: str) -> T.StructType:
+    """Output schema follows the caller's id/group types (a string doc
+    id packs as well as a long one)."""
+    f = {x.name: x.dataType for x in docs.schema.fields}
+    return T.StructType(
+        [
+            T.StructField("doc_id", f[id_col]),
+            T.StructField("group", f[group_col]),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("bin_fill", T.LongType()),
+        ]
+    )
 
 
 def pack_sequences_nextfit(
@@ -185,5 +189,5 @@ def pack_sequences_nextfit(
     return (
         docs.select(id_col, group_col, len_col)
         .groupBy(group_col)
-        .applyInPandas(pack, schema=_PACK_SCHEMA)
+        .applyInPandas(pack, schema=_pack_schema(docs, id_col, group_col))
     )

@@ -127,3 +127,13 @@ def test_token_histogram_counts(spark):
            for r in token_histogram(docs).collect()}
     assert got["a"] == (3, 2) and got["b"] == (1, 1) and got["c"] == (1, 1)
     assert "" not in got
+
+
+def test_pack_nextfit_string_ids(spark):
+    d = spark.createDataFrame(
+        [("a", "g", 400), ("b", "g", 700), ("c", "g", 300)],
+        "doc_id string, grp string, n_tok int")
+    rows = {r["doc_id"]: r["bin_id"] for r in
+            pack_sequences_nextfit(d, group_col="grp", len_col="n_tok",
+                                   max_len=1000).collect()}
+    assert rows == {"a": 0, "b": 1, "c": 1}
