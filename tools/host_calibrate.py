@@ -1,0 +1,49 @@
+"""Quick host-noise calibration: is 4-way CPU scaling available RIGHT NOW?
+
+Runs a fixed numpy workload once alone and then 4× concurrently
+(separate processes, like the 4 executor JVMs). Prints one JSON line
+with the 1→4 process scaling ratio; ≥0.9 means the host currently
+yields 4 undisturbed cores and a scaling-protocol window is worth
+starting. Used by tools/run_when_quiet.sh; costs ~15 s.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+_BURN = (
+    "import numpy as np, time; t0=time.monotonic();\n"
+    "a=np.random.default_rng(1).random((800,800))\n"
+    "for _ in range(60): a = a @ a / np.linalg.norm(a)\n"
+    "print(time.monotonic()-t0)"
+)
+
+
+def _run_n(n: int) -> float:
+    """Wall seconds for n concurrent burns (max of the n)."""
+    t0 = time.monotonic()
+    procs = [subprocess.Popen([sys.executable, "-c", _BURN],
+                              stdout=subprocess.PIPE) for _ in range(n)]
+    for p in procs:
+        p.wait()
+    return time.monotonic() - t0
+
+
+def main() -> int:
+    # numpy may thread BLAS; pin to 1 thread per process for a clean test
+    import os
+    os.environ["OPENBLAS_NUM_THREADS"] = os.environ["OMP_NUM_THREADS"] = "1"
+    one = _run_n(1)
+    four = _run_n(4)
+    # perfect host: four == one (4 independent cores); ratio = one/four
+    ratio = one / four if four else 0.0
+    print(json.dumps({"t1": round(one, 2), "t4": round(four, 2),
+                      "quiet_ratio": round(ratio, 3)}))
+    return 0 if ratio >= 0.9 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
