@@ -353,11 +353,16 @@ class LakeTable:
 
     def fold_partitions(self, n_touched: int, n_rows: int | None = None) -> int:
         """Fold task granularity: enough partitions to balance bucket-size
-        variance across the cluster (4x cores) AND to keep per-task rows
-        under ROWS_PER_FOLD_TASK (spill-aware), but never more than the
-        touched-bucket count (each extra task is an Arrow round-trip)."""
+        variance across the cluster (wave_mult x cores; default 4) AND to
+        keep per-task rows under ROWS_PER_FOLD_TASK (spill-aware), but
+        never more than the touched-bucket count (each extra task is an
+        Arrow round-trip). With the balanced bucket->partition placement
+        a smaller wave_mult trades straggler insurance for fewer Arrow
+        round-trips — env-tunable for measurement."""
+        import os
+
         cores = self.spark.sparkContext.defaultParallelism
-        want = 4 * cores
+        want = int(os.environ.get("SPARK_FOLD_WAVE_MULT", "4")) * cores
         if n_rows:
             want = max(want, -(-int(n_rows) // self.ROWS_PER_FOLD_TASK))
         return max(1, min(n_touched, want))

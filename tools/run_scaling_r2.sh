@@ -11,7 +11,7 @@ export SPARK_MAX_PARTITION_BYTES=32m  # measured: packs 4-exec scan waves, 1-exe
 OUT=BENCH/scaling_r2.jsonl
 : > $OUT
 LOG=/tmp/scalbench/binlog1ep
-for rep in 1 2 3 4 5; do
+for rep in 1 2 3; do
   for e in 1 4; do
     rm -rf /tmp/scalbench/r2_${e}_${rep}
     # page-cache pre-warm: the protocol measures steady-state replay
