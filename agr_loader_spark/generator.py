@@ -20,8 +20,9 @@ log; this module synthesizes one at any scale, deterministically:
 - duplicate re-delivery: a deterministic ~2% of events are emitted twice
   with the same (doc_id, event_lsn) in the same epoch (the analog of the
   sink's requeue-on-error double-apply, src/transactors/neo4j_transactor.py:108-118);
-- 3 schema-change events at fixed fractional positions: add ``lang``,
-  rename ``source -> origin``, widen ``n_tok int -> bigint``.
+- 5 schema-change events at fixed fractional positions: add ``lang``,
+  rename ``source -> origin``, widen ``n_tok int -> bigint``, then
+  drop ``lang`` and re-add it (field-id no-resurrection end-to-end).
 """
 
 from __future__ import annotations
@@ -89,6 +90,20 @@ def schema_change_plan(n_events: int) -> list[dict]:
             "event_lsn": int(n_events * 0.75),
             "schema_change": {"kind": "widen", "column": "n_tok", "new_name": None,
                               "new_type": "bigint", "src_field": None},
+        },
+        # add -> drop -> re-add of `lang`: exercises Iceberg field-id
+        # no-resurrection end-to-end (the re-added column gets a NEW field
+        # id, so rows last upserted before the re-add must read NULL even
+        # though old files physically still hold the dropped values).
+        {
+            "event_lsn": int(n_events * 0.85),
+            "schema_change": {"kind": "drop", "column": "lang", "new_name": None,
+                              "new_type": None, "src_field": None},
+        },
+        {
+            "event_lsn": int(n_events * 0.92),
+            "schema_change": {"kind": "add", "column": "lang", "new_name": None,
+                              "new_type": "string", "src_field": "lang"},
         },
     ]
 

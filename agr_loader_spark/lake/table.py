@@ -367,7 +367,7 @@ class LakeTable:
             want = max(want, -(-int(n_rows) // self.ROWS_PER_FOLD_TASK))
         return max(1, min(n_touched, want))
 
-    def _partition_salts(self, p: int) -> list[int]:
+    def _partition_salts(self, p: int) -> list[int] | None:
         """For each shuffle partition i in [0, p): an int value v with
         pmod(murmur3(v), p) == i. Spark's DataFrame repartition cannot
         place by value directly — HashPartitioning re-hashes the
@@ -390,6 +390,13 @@ class LakeTable:
             ).select("v", F.pmod(F.hash(F.col("v")), F.lit(p)).alias("t")).collect()
             for r in rows:
                 found.setdefault(int(r["t"]), int(r["v"]))
+        if len(found) < need:
+            # Probe budget exhausted (astronomically unlikely for murmur3
+            # over 64p consecutive ints, but fail loud-and-clear rather
+            # than with an opaque KeyError mid-merge). Caller falls back
+            # to the plain bucket-hash repartition.
+            self._salt_cache = (p, None)
+            return None
         salts = [found[i] for i in range(p)]
         self._salt_cache = (p, salts)
         return salts
@@ -405,6 +412,8 @@ class LakeTable:
         if p <= 1:
             return df.repartition(1)
         salts = self._partition_salts(p)
+        if salts is None:  # probe exhausted: plain bucket-hash placement
+            return df.repartition(p, F.col(BUCKET_COL))
         by_bucket = F.array(*[F.lit(salts[b % p]) for b in range(self.n_buckets)])
         # __pk is kept as a COLUMN and later leads the fold's groupBy:
         # HashPartitioning([__pk]) then satisfies ClusteredDistribution(

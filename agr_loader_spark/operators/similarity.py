@@ -184,7 +184,12 @@ def cosine_near_dup_pairs(
         )
     if method != "lsh":
         raise ValueError(f"unknown method {method!r}")
-    dim = embeddings.select(F.size(vec_col)).first()[0]
+    head = embeddings.select(F.size(vec_col)).first()
+    if head is None:  # empty frame: no pairs (brute path handles this natively)
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a string, id_b string, cos_sim double"
+        )
+    dim = head[0]
     meta = F.lit(f"{seed}:{n_planes}:{dim}")
     r = n_planes // bands
     signs = _hyperplane_signs(F.col(vec_col), meta)

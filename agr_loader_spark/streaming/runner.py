@@ -348,6 +348,8 @@ class ReplayRunner:
             r = self.table.rename_column(sc["column"], sc["new_name"], epoch_key=epoch_key)
         elif kind == "widen":
             r = self.table.widen_column(sc["column"], sc["new_type"], epoch_key=epoch_key)
+        elif kind == "drop":
+            r = self.table.drop_column(sc["column"], epoch_key=epoch_key)
         else:
             raise ValueError(f"unknown schema change kind {kind!r}")
         r = dict(r)

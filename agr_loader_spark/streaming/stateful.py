@@ -71,7 +71,14 @@ def _make_fold(tombstone_ttl_ms: int | None):
         if state.exists:
             (prev_lsn,) = state.get[:1]
             if best_lsn <= prev_lsn:
-                return  # stale re-delivery: nothing advances, emit nothing
+                # Stale re-delivery: nothing advances, emit nothing — but
+                # Spark CLEARS a GroupState timeout on any invocation that
+                # does not re-set it, so re-arm the TTL here or a duplicate
+                # stale event arriving after a delete would disarm the
+                # tombstone's expiry and pin that key's state forever.
+                if tombstone_ttl_ms is not None:
+                    state.setTimeoutDuration(tombstone_ttl_ms)
+                return
         # a delete RETAINS state as a tombstone (lsn + op='D'): clearing
         # it would let a late/re-delivered stale event for the key skip
         # the lsn check and resurrect a deleted row — the exact

@@ -34,6 +34,15 @@ def oracle_fold(events: pd.DataFrame) -> pd.DataFrame:
                         c[0] = sc["new_name"]
             elif sc["kind"] == "widen":
                 pass  # value-preserving by definition
+            elif sc["kind"] == "drop":
+                # Iceberg drop is metadata-only but by FIELD ID: a later
+                # re-add under the same name is a new field, so already-
+                # stored values must not resurrect — purge them now.
+                src = next((s for n, s in schema if n == sc["column"]), None)
+                schema = [c for c in schema if c[0] != sc["column"]]
+                if src:
+                    for r in state.values():
+                        r.pop(src, None)
         elif row.op == "D":
             state.pop(row.doc_id, None)
         else:  # I / U — whole-row upsert gated by schema-at-event-time
