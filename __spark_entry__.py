@@ -598,9 +598,10 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No-split next-fit packing (greedy recurrence — inherently
-    sequential per group, not SQL-expressible: rows-only check; the
-    invariants are pytest-asserted in test_sampling)."""
+    """No-split next-fit packing. The greedy recurrence is sequential
+    per group; the oracle replays it as a DuckDB recursive CTE stepping
+    one id-ordered row per group per iteration (invariants additionally
+    pytest-asserted in test_sampling)."""
     from agr_loader_spark.operators.sampling import pack_sequences_nextfit
 
     d = _t(spark, sf_dir, "documents")
@@ -1123,6 +1124,27 @@ def oracle_sql() -> dict[str, str]:
                floor((cum - 1) * 1.0 / 4096) > floor((cum - n_chars) * 1.0 / 4096)
                    AS spans_boundary
         FROM c
+    """
+    # next-fit greedy is a per-group sequential recurrence: the oracle
+    # replays it as a recursive CTE stepping one id-ordered row per group
+    # per iteration (same pattern that oracled dedup_clusters).
+    sql["pack_nextfit"] = """
+        WITH RECURSIVE ordered AS (
+            SELECT doc_id, source AS grp, n_chars AS len,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents),
+        pack AS (
+            SELECT doc_id, grp, len, rn,
+                   CAST(0 AS BIGINT) AS bin_id, CAST(len AS BIGINT) AS bin_fill
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.doc_id, o.grp, o.len, o.rn,
+                   CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.len > 4096
+                        THEN p.bin_id + 1 ELSE p.bin_id END,
+                   CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.len > 4096
+                        THEN CAST(o.len AS BIGINT) ELSE p.bin_fill + o.len END
+            FROM pack p JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1)
+        SELECT doc_id, grp AS "group", bin_id, bin_fill FROM pack
     """
     sql["token_histogram"] = """
         WITH toks AS (
