@@ -253,10 +253,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k with md5-Rademacher planes: the banding/bucketing is
+    bit-for-bit reproducible outside Spark, so the DuckDB oracle
+    recomputes the SAME candidate sets and exact re-rank (a values
+    oracle for the whole approximate pipeline, not just rows). The
+    production counter-hash plane path keeps its recall-floor pytest."""
     from agr_loader_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, bands=8, n_planes=32)
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, bands=8, n_planes=32,
+                    plane_method="rademacher")
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,6 +1164,55 @@ def oracle_sql() -> dict[str, str]:
     """
     # full-probe IVF is exhaustive -> must equal the exact-cosine result
     sql["ivf_topk"] = sql["ann_topk"]
+    # lsh_topk: recompute the md5-Rademacher plane signs, band buckets,
+    # candidate join, and exact cosine re-rank entirely in DuckDB. The
+    # ±1 plane literals are derived here with hashlib.md5 — the same
+    # public derivation the Spark query inlines — so candidates match
+    # bit-for-bit and this is a full values oracle of the approximate
+    # pipeline (dim=64 across all sf fixtures).
+    from agr_loader_spark.operators.similarity import rademacher_planes
+
+    _planes = rademacher_planes(42, 32, 64)
+    _sign_cols = ",\n               ".join(
+        "(list_dot_product(v, ["
+        + ",".join(f"{c:.1f}" for c in pl)
+        + f"]) >= 0)::BIGINT AS s{p}"
+        for p, pl in enumerate(_planes)
+    )
+    _band_rows = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " + ".join(f"s{b * 4 + j} * {1 << j}" for j in range(4))
+        + " AS bucket FROM sv"
+        for b in range(8)
+    )
+    sql["lsh_topk"] = f"""
+        WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sv AS (
+            SELECT vec_id,
+               {_sign_cols}
+            FROM ev),
+        bv AS (
+            {_band_rows}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+            FROM bv q JOIN bv e ON q.band = e.band AND q.bucket = e.bucket
+            WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+        s AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+            FROM cand c
+            JOIN ev a ON a.vec_id = c.query_id
+            JOIN ev b ON b.vec_id = c.neighbor_id),
+        r AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM s)
+        SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+    """
     sql["dedup_corpus"] = f"""
         WITH RECURSIVE documents2 AS ({_EDGE_DOCS_SQL}),
         toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t

@@ -98,6 +98,26 @@ def _hyperplane_signs(vec: pd.Series, meta: pd.Series) -> pd.Series:
     return pd.Series([row.astype(np.int32) for row in signs.astype(np.int32)])
 
 
+def rademacher_planes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane components from md5 — engine-independent: any engine
+    (including the DuckDB oracle-SQL generator) rebuilds the identical
+    planes from (seed, p, i) alone. Component (p, i) = +1.0 iff the
+    first hex digit of md5("lshplane:{seed}:{p}:{i}") is even. Sign-LSH
+    with Rademacher planes has the same collision S-curve as Gaussian
+    planes (Achlioptas-style sparse/signed projections)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"lshplane:{seed}:{p}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -107,28 +127,61 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_method: str = "hash",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets -> candidate
     equi-join -> exact cosine re-rank. Recall grows with ``bands``
-    (independent 4-plane bands, multi-probe by union)."""
+    (independent 4-plane bands, multi-probe by union).
+
+    plane_method='hash' (default): counter-hash N(0,1)-ish planes inside
+    a pandas_udf, bucket = xxhash64 of the band's sign bits — the
+    production path. plane_method='rademacher': md5-derived ±1 planes as
+    inlined literal arrays folded JVM-side, bucket = the band's sign
+    bits as a little-endian integer — bit-for-bit reproducible outside
+    Spark, which is what makes the DuckDB values-oracle possible."""
     dim_row = embeddings.select(F.size(vec_col)).first()
+    if dim_row is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     dim = dim_row[0]
     meta = F.lit(f"{seed}:{n_planes}:{dim}")
     r = n_planes // bands
+    planes = (
+        rademacher_planes(seed, n_planes, dim) if plane_method == "rademacher" else None
+    )
 
     def with_buckets(df, side):
-        signs = _hyperplane_signs(F.col(vec_col), meta)
+        if planes is not None:
+            vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            signs = F.array(*[
+                (
+                    F.aggregate(
+                        F.zip_with(vec_d, F.array(*[F.lit(c) for c in pl]),
+                                   lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x,
+                    ) >= 0
+                ).cast("int")
+                for pl in planes
+            ])
+        else:
+            signs = _hyperplane_signs(F.col(vec_col), meta)
         d = df.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"{side}_vec"),
             signs.alias("signs"),
         )
-        bucket = F.posexplode(
-            F.array(*[
+        if planes is not None:
+            band_bucket = [
+                sum(F.col("signs").getItem(b * r + j) * F.lit(1 << j) for j in range(r))
+                for b in range(bands)
+            ]
+        else:
+            band_bucket = [
                 F.xxhash64(*[F.col("signs").getItem(b * r + j) for j in range(r)])
                 for b in range(bands)
-            ])
-        )
+            ]
+        bucket = F.posexplode(F.array(*band_bucket))
         return d.select(f"{side}_id", f"{side}_vec", bucket.alias("band", "bucket"))
 
     qb = with_buckets(queries, "query")
