@@ -112,8 +112,8 @@ def closure_delta(
     composing ``ext`` with itself covers k-Δ paths; the loop runs once
     per extra Δ edge on the longest new shortest-path (normally 1-2
     rounds for an ontology update batch). Work is O(|Δ| * fan-out),
-    never O(closure) recompute. Deletes invalidate paths and need the
-    full recompute (`transitive_closure`) — the classic DRed trade-off.
+    never O(closure) recompute. For edge DELETES use `closure_delete`
+    (DRed over-delete + re-derive).
     """
     delta = new_edges.select(
         F.col(child_col).alias("descendant_id"), F.col(parent_col).alias("ancestor_id")
@@ -138,3 +138,75 @@ def closure_delta(
         new = new.unionByName(nxt)
         frontier = nxt
     raise RuntimeError(f"closure delta did not converge in {max_iterations} rounds (cycle?)")
+
+
+def closure_delete(
+    closure: DataFrame,
+    remaining_edges: DataFrame,
+    deleted_edges: DataFrame,
+    child_col: str = "child_id",
+    parent_col: str = "parent_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """DRed-style incremental closure maintenance for edge DELETES: the
+    new closure of ``remaining_edges`` given the old ``closure`` and the
+    removed ``deleted_edges`` — without a from-scratch fixpoint over the
+    whole graph (Gupta/Mumick/Subrahmanian delete-and-rederive).
+
+    1. OVER-DELETE: a pair (d, a) is *suspect* iff some old derivation
+       could thread a deleted edge (u, v): d reaches u (or d = u) and v
+       reaches a (or v = a), per the OLD closure. Everything else in the
+       old closure is untouched by the delete and is kept as-is — for a
+       churned 100-TB ontology the suspect set is the neighborhood of
+       the deleted edges, not the graph.
+    2. RE-DERIVE: semi-naive fixpoint RESTRICTED to suspect pairs over
+       the remaining edge set, seeded by surviving one-hop edges and
+       edge∘kept compositions; each round prepends one remaining edge
+       to the re-derived frontier. Work is O(|suspect| * fan-in), and
+       rounds are bounded by the longest re-derived path.
+
+    Result = kept ∪ re-derived ≡ ``transitive_closure(remaining_edges)``
+    (asserted on chain-breaking deletions in test_incremental_closure).
+    """
+    anti = ["descendant_id", "ancestor_id"]
+    dd = deleted_edges.select(
+        F.col(child_col).alias("__u"), F.col(parent_col).alias("__v")
+    ).dropDuplicates()
+    # d ⇝ u (including d = u) per the OLD closure
+    left = closure.select("descendant_id", F.col("ancestor_id").alias("__u")).unionByName(
+        dd.select(F.col("__u").alias("descendant_id"), "__u").dropDuplicates()
+    )
+    # v ⇝ a (including v = a)
+    right = closure.select(
+        F.col("descendant_id").alias("__v"), "ancestor_id"
+    ).unionByName(dd.select("__v", F.col("__v").alias("ancestor_id")).dropDuplicates())
+    suspect = (
+        left.join(dd, on="__u")
+        .join(right, on="__v")
+        .select(*anti)
+        .dropDuplicates()
+        .join(closure, on=anti, how="left_semi")
+        .localCheckpoint(eager=True)
+    )
+    kept = closure.join(suspect, on=anti, how="left_anti").localCheckpoint(eager=True)
+
+    ebase = remaining_edges.select(
+        F.col(child_col).alias("descendant_id"), F.col(parent_col).alias("ancestor_id")
+    ).dropDuplicates()
+    onehop = ebase.join(suspect, on=anti, how="left_semi")
+    via_kept = _compose(ebase, kept).join(suspect, on=anti, how="left_semi")
+    red = onehop.unionByName(via_kept).dropDuplicates().localCheckpoint(eager=True)
+    frontier = red
+    for _ in range(max_iterations):
+        nxt = (
+            _compose(ebase, frontier)
+            .dropDuplicates()
+            .join(suspect, on=anti, how="left_semi")
+            .join(red, on=anti, how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return kept.unionByName(red)
+        red = red.unionByName(nxt)
+        frontier = nxt
+    raise RuntimeError(f"closure delete did not converge in {max_iterations} rounds (cycle?)")

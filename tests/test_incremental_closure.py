@@ -7,7 +7,11 @@ import pyspark.sql.functions as F
 
 from agr_loader_spark.derived import closure_pass, incremental_closure_pass
 from agr_loader_spark.lake.table import LakeTable
-from agr_loader_spark.operators.closure import closure_delta, transitive_closure
+from agr_loader_spark.operators.closure import (
+    closure_delete,
+    closure_delta,
+    transitive_closure,
+)
 
 
 def _edges(spark, pairs):
@@ -48,6 +52,43 @@ def test_delta_random_graph(spark):
     got = _pairs(c_base) | _pairs(closure_delta(c_base, d))
     want = _pairs(transitive_closure(b.unionByName(d)))
     assert got == want
+
+
+def test_delete_chain_break_equals_full_recompute(spark):
+    # a->b->c->d->e with a shortcut b->d: deleting c->d breaks a..e paths
+    # THROUGH c but b⇝e survives via the shortcut — the re-derive step
+    # must resurrect exactly those suspect pairs with alternate paths.
+    full = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "d")]
+    deleted = [("c", "d")]
+    remaining = [e for e in full if e not in deleted]
+    c_old = transitive_closure(_edges(spark, full))
+    got = _pairs(closure_delete(c_old, _edges(spark, remaining), _edges(spark, deleted)))
+    want = _pairs(transitive_closure(_edges(spark, remaining)))
+    assert got == want
+    assert ("c", "d") not in got and ("c", "e") not in got  # truly severed
+    assert ("b", "e") in got  # rederived via the shortcut
+
+
+def test_delete_random_graph(spark):
+    import random
+
+    rnd = random.Random(11)
+    nodes = [f"n{i}" for i in range(50)]
+    all_edges = sorted({(a, b) for a in nodes for b in nodes
+                        if a < b and rnd.random() < 0.06})
+    deleted = [e for i, e in enumerate(all_edges) if i % 7 == 0]
+    remaining = [e for e in all_edges if e not in set(deleted)]
+    c_old = transitive_closure(_edges(spark, all_edges))
+    got = _pairs(closure_delete(c_old, _edges(spark, remaining), _edges(spark, deleted)))
+    want = _pairs(transitive_closure(_edges(spark, remaining)))
+    assert got == want
+
+
+def test_delete_everything(spark):
+    edges = [("a", "b"), ("b", "c")]
+    c_old = transitive_closure(_edges(spark, edges))
+    got = closure_delete(c_old, _edges(spark, []), _edges(spark, edges))
+    assert got.count() == 0
 
 
 def test_incremental_pass_merges_only_new_pairs(spark, tmproot):
