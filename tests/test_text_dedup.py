@@ -177,6 +177,55 @@ def test_simhash_banding_complete_at_any_hamming(spark, docs):
         assert got == truth, f"max_hamming={mh}: {len(got)} vs {len(truth)}"
 
 
+def test_simhash_multiblock_same_pairs_fewer_candidates(spark):
+    """C(b, b-k) multi-block banding at a wide radius (max_hamming=6,
+    b=8: 28 bands keyed on 16 bits) must return EXACTLY the single-chunk
+    pigeonhole result while generating far fewer candidate comparisons
+    on a corpus-scale synthetic (10k simhashes) — the scale caveat from
+    round 2 (each ~9-bit chunk has only ~512 bucket values, candidates
+    grow ~n^2/512 per chunk)."""
+    import pyspark.sql.functions as F
+
+    from agr_loader_spark.operators.dedup_docs import simhash_candidates
+
+    n = 10_000
+    base = spark.range(n).select(
+        F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("doc_id"),
+        F.xxhash64(F.col("id")).alias("simhash"),
+    )
+    # plant near-dups: every 500th doc gets a twin at hamming 2 (flip
+    # bits 3 and 40) and one at hamming 6 (flip 6 spread bits)
+    twin_mask = (1 << 3) | (1 << 40)
+    six_mask = sum(1 << b for b in (1, 11, 23, 37, 49, 61))
+    src = spark.range(0, n, 500).select(
+        F.concat(F.lit("t"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("doc_id"),
+        F.xxhash64(F.col("id")).bitwiseXOR(F.lit(twin_mask)).alias("simhash"),
+    ).unionByName(
+        spark.range(0, n, 500).select(
+            F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("doc_id"),
+            F.xxhash64(F.col("id")).bitwiseXOR(F.lit(six_mask)).alias("simhash"),
+        )
+    )
+    sh = base.unionByName(src)
+
+    def verified(cands):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in cands.select(
+                "doc_a", "doc_b",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("h"),
+            ).filter(F.col("h") <= 6).dropDuplicates(["doc_a", "doc_b"]).collect()
+        }
+
+    single = simhash_candidates(sh, 6)
+    multi = simhash_candidates(sh, 6, n_blocks=8)
+    n_single, n_multi = single.count(), multi.count()
+    assert verified(multi) == verified(single)
+    assert len(verified(multi)) >= 40  # planted pairs actually found
+    # the point of multi-block: candidate volume drops by >5x at n=10k
+    assert n_multi * 5 < n_single, (n_multi, n_single)
+
+
 def test_md5_token_hash_matches_duckdb(spark):
     """The oracle-portable token hash must agree bit-for-bit with the
     DuckDB expression the simhash oracle uses."""
