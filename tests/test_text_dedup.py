@@ -95,6 +95,41 @@ def test_multimodal_plumbing(spark):
         extract_features(media, decode_stub="raise").collect()
 
 
+def test_wav_decode_roundtrip_and_real_features(spark):
+    """The WAV path is a REAL codec: hand-build a RIFF payload, decode
+    it back sample-exact, and check the Spark feature pipeline produces
+    signal-dependent (not byte-histogram) vectors for audio rows."""
+    from agr_loader_spark.operators.multimodal import (
+        decode_wav, extract_features, make_wav, synthesize_media, wav_rms_features,
+    )
+
+    # hand-built fixture: 1 kHz sine, 200 samples at 8 kHz, 16-bit mono
+    t = np.arange(200) / 8000.0
+    samples = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    payload = make_wav(samples, sample_rate=8000)
+    rate, n_ch, decoded = decode_wav(payload)
+    assert (rate, n_ch, len(decoded)) == (8000, 1, 200)
+    assert float(np.max(np.abs(decoded - samples))) < 1e-3  # 16-bit quantization
+    # word-alignment: odd-length data chunk still parses
+    rate2, _, dec2 = decode_wav(make_wav(samples[:33]))
+    assert len(dec2) == 33
+    # features distinguish tones (a byte histogram of noise would not)
+    loud = wav_rms_features(make_wav(np.concatenate([samples, 0.01 * samples])), 4)
+    assert loud[0] > loud[2] * 5  # first half is ~50x louder
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x00" * 64)
+    # end-to-end through Spark: audio rows decode for real
+    media = synthesize_media(spark, n=9)
+    feats = {r["media_id"]: np.array(r["features"])
+             for r in extract_features(media, feat_dim=8).collect()}
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    audio_vecs = [v for m, v in feats.items() if kinds[m] == "audio"]
+    assert len(audio_vecs) == 3
+    # sine bursts have near-uniform per-window RMS -> all components close
+    for v in audio_vecs:
+        assert float(v.std()) < 0.05 and abs(float(np.linalg.norm(v)) - 1.0) < 1e-3
+
+
 def test_media_generation_deterministic(spark):
     from agr_loader_spark.operators.multimodal import synthesize_media
 
