@@ -39,6 +39,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sink", choices=["arrow", "jvm"], default="arrow",
                    help="merge path: 2-stage Arrow state-colocated fold (default) "
                         "or pure-JVM join merge")
+    p.add_argument("--pipeline", action="store_true",
+                   help="async fold overlap: prefetch the next segment's "
+                        "scan+shuffle (schema-aware) under the current fold")
     p.add_argument("--warmup", action="store_true",
                    help="run a small throwaway replay first so the timed run "
                         "measures steady-state (JIT/codegen warmed), as a "
@@ -72,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
                               key=TOKENS_MERGE_KEY, n_buckets=args.n_buckets)
         wlog = generate_binlog(spark, n_events=400_000, n_docs=50_000,
                                epoch_size=200_000, seed=7)
-        ReplayRunner(spark, wt, source_df=wlog, sink=args.sink).run()
+        ReplayRunner(spark, wt, source_df=wlog, sink=args.sink,
+                     pipeline=args.pipeline).run()
         shutil.rmtree(wdir, ignore_errors=True)
 
     table = LakeTable.create(
@@ -80,7 +84,8 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets, if_not_exists=True,
     )
     runner = ReplayRunner(spark, table, source_path=binlog,
-                          salt_buckets=args.salt_buckets, sink=args.sink)
+                          salt_buckets=args.salt_buckets, sink=args.sink,
+                          pipeline=args.pipeline)
     t0 = time.monotonic()
     metrics = runner.run(stop_after=args.stop_after)
     wall = time.monotonic() - t0

@@ -28,16 +28,19 @@ def plan_changeset(
     table: LakeTable,
     op_col: str = "op",
     keep_cols: list[str] | None = None,
+    columns=None,
 ) -> DataFrame:
     """events: one row per merge key (post-LWW), EVENT_SCHEMA-shaped.
     Returns current-schema columns + __op, ready for ``LakeTable.merge``.
 
     Payload fields the target does not (yet) declare are ignored — the
     gate that makes a mid-stream ``add column`` take effect only from its
-    lsn onward.
+    lsn onward. ``columns`` overrides the target column specs — the
+    runner's prefetch uses it to plan a segment under the schema the
+    table WILL have once the intervening schema events commit.
     """
     proj = []
-    for c in table.columns():
+    for c in (columns if columns is not None else table.columns()):
         if c.src_field is not None and c.src_field in events.columns:
             proj.append(F.col(c.src_field).cast(c.type).alias(c.name))
         else:

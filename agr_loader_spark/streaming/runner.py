@@ -54,7 +54,7 @@ class ReplayRunner:
         use_pandas_lww: bool = False,
         use_salted_lww: bool = False,
         sink: str = "arrow",  # "arrow" (2-stage state-colocated) | "jvm"
-        pipeline: bool = False,  # experimental: prefetch next segment's shuffle (the persist+extra pass cost usually exceeds the overlap win)
+        pipeline: bool = False,  # async fold overlap: prefetch the next segment's scan+shuffle (schema-aware) under the current fold
     ):
         if (source_path is None) == (source_df is None):
             raise ValueError("exactly one of source_path / source_df")
@@ -162,7 +162,7 @@ class ReplayRunner:
             cond = cond & (F.col("event_lsn") < hi)
         return self._events().filter(cond)
 
-    def _changeset_base(self) -> DataFrame:
+    def _changeset_base(self, columns=None) -> DataFrame:
         """The segment-independent prefix of the arrow-sink plan —
         scan -> changeset projection -> schema cast -> bucket column —
         built ONCE per table schema version and cached. Per segment only
@@ -171,34 +171,37 @@ class ReplayRunner:
         expression rebuild was a measurable slice of the fixed
         per-commit floor (BENCH/BASELINE.md), and none of it depends on
         the segment bounds. Invalidated on schema evolution (the cast
-        projection embeds the current columns)."""
+        projection embeds the current columns). ``columns`` builds the
+        base under an EXPLICIT (future) column spec instead — used by
+        the prefetch path, uncached."""
         sv = self.table._m["schema_version"]
-        cached = getattr(self, "_base_cache", None)
-        if cached is not None and cached[0] == sv:
-            return cached[1]
+        if columns is None:
+            cached = getattr(self, "_base_cache", None)
+            if cached is not None and cached[0] == sv:
+                return cached[1]
         from ..lake.table import BUCKET_COL
 
+        cur = columns if columns is not None else self.table.columns()
         data = self._events().filter(F.col("op") != "S")
-        changes = plan_changeset(data, self.table, keep_cols=["event_lsn", "epoch"])
-        cur = self.table.columns()
+        changes = plan_changeset(data, self.table, keep_cols=["event_lsn", "epoch"],
+                                 columns=cur)
         base = changes.select(
             *[F.col(c.name).cast(c.type).alias(c.name) for c in cur],
             F.col(OP_COL),
             F.col("event_lsn").cast("long").alias("event_lsn"),
             F.col("epoch"),
         ).withColumn(BUCKET_COL, self.table._bucket_expr(F.col(self.table.key)))
-        self._base_cache = (sv, base)
+        if columns is None:
+            self._base_cache = (sv, base)
         return base
 
     def _segment_prepared(self, epoch: int, lo, hi, n_touched: int,
-                          n_rows: int | None = None) -> DataFrame:
+                          n_rows: int | None = None, columns=None) -> DataFrame:
         """Segment slice of the cached base, shuffled for the fold. The
         filter sits BELOW the repartition by construction, so the
         epoch-partition pruning still reaches the scan and the shuffle
         carries only this segment's rows."""
-        from ..lake.table import BUCKET_COL
-
-        base = self._changeset_base()
+        base = self._changeset_base(columns=columns)
         cond = F.col("epoch") == epoch
         if lo is not None:
             cond = cond & (F.col("event_lsn") > lo)
@@ -207,19 +210,50 @@ class ReplayRunner:
         seg = base.filter(cond).drop("epoch")
         return self.table.balanced_fold_repartition(seg, n_touched, n_rows)
 
-    def _prepare(self, epoch: int, seg: int, lo, hi, stats):
-        """Stage-1 (scan -> project -> shuffle) of a data segment,
-        materialized via persist. Runs on the prefetch thread so the NEXT
-        micro-batch's shuffle overlaps the current one's fold — pure
-        compute ahead of the commit, never past a schema boundary."""
+    @staticmethod
+    def _future_cols(cols, sc) -> list:
+        """Simulate a schema-change event's effect on a column-spec list
+        (names/types only — field ids are irrelevant to stage-1
+        projection). Lets the prefetch plan a segment under the schema
+        the table WILL have after the intervening schema commits, so
+        async fold overlap works across schema boundaries too (in the
+        scaling log every data-segment boundary IS a schema event)."""
+        from ..lake.table import ColumnSpec
+
+        kind = sc["kind"]
+        if kind == "add":
+            return list(cols) + [ColumnSpec(-1, sc["column"], sc["new_type"], sc["src_field"])]
+        if kind == "rename":
+            return [ColumnSpec(c.id, sc["new_name"] if c.name == sc["column"] else c.name,
+                               c.type, c.src_field) for c in cols]
+        if kind == "widen":
+            return [ColumnSpec(c.id, c.name,
+                               sc["new_type"] if c.name == sc["column"] else c.type,
+                               c.src_field) for c in cols]
+        if kind == "drop":
+            return [c for c in cols if c.name != sc["column"]]
+        raise ValueError(f"unknown schema change kind {kind!r}")
+
+    def _prepare(self, epoch: int, seg: int, lo, hi, stats, columns):
+        """Stage-1 (scan -> project -> shuffle, balanced fold layout) of
+        a data segment, materialized via DISK_ONLY persist. Runs on the
+        prefetch thread so the NEXT micro-batch's shuffle overlaps the
+        current one's fold: the fold's straggler-wave tail leaves cores
+        idle that this fills (pure compute, no commit — exactly-once is
+        untouched; a crash just discards cache). DISK_ONLY keeps the
+        prefetched rows out of executor storage memory (they'd evict
+        the fold's execution memory on small executors); on a warm host
+        the disk is the page cache anyway."""
+        from pyspark import StorageLevel
+
         st = stats.get((epoch, seg))
         touched = st["buckets"] if st is not None else []
-        events = self._segment_events(epoch, lo, hi)
-        changes = plan_changeset(events, self.table, keep_cols=["event_lsn"])
-        prepared = self.table.prepare_changes(
-            changes, "event_lsn", len(touched),
-            int(st["n_events"]) if st is not None else None)
-        prepared = prepared.persist()
+        prepared = self._segment_prepared(
+            epoch, lo, hi, len(touched),
+            int(st["n_events"]) if st is not None else None,
+            columns=columns,
+        )
+        prepared = prepared.persist(StorageLevel.DISK_ONLY)
         prepared.count()  # materialize scan + shuffle
         return prepared
 
@@ -240,16 +274,19 @@ class ReplayRunner:
         try:
             for i, op in enumerate(ops):
                 if pool is not None and op[0] == "data":
-                    # prefetch the next data segment IF no schema op sits
-                    # between (its changeset must be planned under the
-                    # current table schema)
+                    # prefetch the NEXT data segment, planning it under
+                    # the schema the table will have once any schema
+                    # events in between commit (simulated metadata-only)
+                    cols = self.table.columns()
                     for nxt in ops[i + 1:]:
                         if nxt[0] == "schema":
-                            break
+                            cols = self._future_cols(cols, nxt[3]["schema_change"])
+                            continue
                         _, ne, ns, nlo, nhi = nxt
-                        if f"{ne}:{ns}" not in self.table.applied_epochs():
+                        if (ne, ns) not in futures and \
+                                f"{ne}:{ns}" not in self.table.applied_epochs():
                             futures[(ne, ns)] = pool.submit(
-                                self._prepare, ne, ns, nlo, nhi, stats
+                                self._prepare, ne, ns, nlo, nhi, stats, cols
                             )
                         break
                 if op[0] == "data":
@@ -260,6 +297,16 @@ class ReplayRunner:
                         try:
                             prepared = fut.result()
                         except Exception:
+                            prepared = None
+                    if prepared is not None:
+                        # defensive: the prefetch planned under a SIMULATED
+                        # schema — consume it only if it matches reality
+                        want = [c.name for c in self.table.columns()]
+                        have = [c for c in prepared.columns
+                                if c not in (OP_COL, "event_lsn", "__pk")
+                                and not c.startswith("__bucket")]
+                        if have != want:
+                            prepared.unpersist()
                             prepared = None
                     m = self._apply_data_segment(
                         epoch, seg, lo, hi, stats.get((epoch, seg)), prepared

@@ -62,10 +62,13 @@ def _assert_state_equals_oracle(table, oracle_df):
         ], col
 
 
-@pytest.mark.parametrize("sink", ["arrow", "jvm"])
-def test_replay_matches_oracle(spark, tmproot, binlog, oracle_df, sink):
+@pytest.mark.parametrize("sink,pipeline", [("arrow", False), ("arrow", True), ("jvm", False)])
+def test_replay_matches_oracle(spark, tmproot, binlog, oracle_df, sink, pipeline):
+    """pipeline=True exercises the schema-aware async prefetch: every
+    prepared segment is planned under a SIMULATED future schema and must
+    still produce the byte-identical final state."""
     table = _fresh_table(spark, tmproot)
-    runner = ReplayRunner(spark, table, source_path=binlog, sink=sink)
+    runner = ReplayRunner(spark, table, source_path=binlog, sink=sink, pipeline=pipeline)
     metrics = runner.run()
     _assert_state_equals_oracle(table, oracle_df)
     # schema evolution happened mid-stream
