@@ -96,7 +96,12 @@ def main() -> int:
             table = LakeTable.create(  # makes a rerun a metadata no-op)
                 spark, os.path.join(work, f"tokens{rep}"),
                 TOKENS_TABLE_COLUMNS, key=TOKENS_MERGE_KEY, n_buckets=64)
-            runner = ReplayRunner(spark, table, source_path=binlog)
+            # pipeline=True: schema-aware async fold overlap — measured
+            # ~18% faster at local[32] where driver/python-stage latency
+            # dominates the small per-segment data work (it LOSES on
+            # 1-core-executor topologies where the balanced fold already
+            # saturates cores; the scaling protocol runs it off)
+            runner = ReplayRunner(spark, table, source_path=binlog, pipeline=True)
             t0 = time.monotonic()
             metrics = runner.run()
             replay_reps.append(round(time.monotonic() - t0, 3))
