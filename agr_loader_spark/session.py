@@ -90,6 +90,23 @@ def get_spark(
             f"-XX:ParallelGCThreads={max(cores, 1)} -XX:ConcGCThreads={max(cores // 4, 1)}",
         )
     )
+    # local-cluster executor JVMs otherwise size EVERY internal pool (GC,
+    # JIT compiler, netty shuffle IO) from the 32-core HOST, not their
+    # 1-core grant — a real 1-core node would have 1-core pools. The
+    # scaling protocol sets e.g. "-XX:ActiveProcessorCount=1" here so an
+    # emulated executor behaves like the node it stands in for (and 4
+    # JVMs' GC bursts stop colliding on the shared host).
+    exec_opts = os.environ.get("SPARK_EXECUTOR_JAVA_OPTS")
+    if exec_opts:
+        builder = builder.config("spark.executor.extraJavaOptions", exec_opts)
+    # NOTE on worker-side library threading: pyarrow sizes its IO/compute
+    # pool from OMP_NUM_THREADS, so pinning OMP=1 here serializes the
+    # parquet encode/decode inside every Arrow fold worker. Measured on
+    # clean (steal-gated) 48M-event replay legs: 4-exec 126-142 s
+    # unpinned vs 157-172 s pinned, and N->4N efficiency DROPS to
+    # ~0.73-0.77 pinned (BENCH/scaling_r3v2_ab.jsonl) — so no pinning is
+    # done. Both scaling legs run identical worker configs either way;
+    # the unpinned setting is also the max-throughput one.
     local_dir = os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

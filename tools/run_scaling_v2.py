@@ -1,0 +1,255 @@
+#!/usr/bin/env python3
+"""Round-3 N-vs-4N scaling protocol, v2: noise-MONITORED legs.
+
+Rounds 1-3 showed the before-only calibration gate is insufficient: a
+leg passes the 15 s quiet probe, then external load arrives mid-run and
+inflates it (tmpfs runs ruled out the shared disk; 4-exec legs of
+identical work still spread 126 -> 212 s). v2 samples /proc/stat every
+2 s DURING each leg and derives two per-leg noise series:
+
+  steal_cores  — hypervisor CPU steal (other tenants of the physical
+                 host taking our vCPUs; invisible to load average)
+  busy_cores   — total in-VM non-idle cores (catches in-VM interlopers
+                 and our own stray processes)
+
+A leg is CLEAN iff its average/p90 of both series stay under fixed
+thresholds; a protocol rep counts only when BOTH legs of the pair are
+clean. Dirty legs are recorded (full noise summary attached) and the
+pair is retried — measurement transparency instead of silent selection.
+
+Measured and REJECTED variants (BENCH/scaling_r3v2_ab.jsonl, clean
+legs, steal_avg <= 0.03):
+  - executor -XX:ActiveProcessorCount=1 ("honest 1-core node" JVM
+    pools): 4-exec leg 172.5 s vs 157.4 s default — the host-thread
+    subsidy (GC/JIT/netty) is real work, and BOTH legs receive it
+    equally, so the unpinned ratio is still a fair engine measurement.
+    Available via --exec-opts for fidelity experiments.
+  - tmpfs end-to-end storage: consistently SLOWER than the page-cache-
+    backed /tmp path (4-exec clean floors ~145-157 s vs ~126-142 s);
+    tmpfs pays page allocation on every shuffle/table write where the
+    disk path just dirties the writeback cache. --storage shm keeps it
+    available for disk-isolation experiments.
+
+Usage:
+  python tools/run_scaling_v2.py                # full protocol, 3 clean pairs
+  python tools/run_scaling_v2.py --legs 4       # one-off single leg (A/B)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import threading
+import time
+
+NCPU = os.cpu_count() or 32
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# measured on clean legs (BENCH/scaling_r3v2_ab.jsonl + v1 floors): the
+# page-cache-backed /tmp variant is FASTER than tmpfs end-to-end
+# (4-exec floor ~126 s vs ~145 s) — tmpfs pays page allocation on every
+# shuffle/table write where the disk path just dirties cache. Default
+# stays disk; shm remains selectable for disk-isolation experiments.
+STORAGE = {"disk": "/tmp/scalbench", "shm": "/dev/shm/scalbench"}
+LOCALDIR = {"disk": "/tmp/spark_local", "shm": "/dev/shm/spark_local"}
+
+# Gates. steal: a quiet sample shows ~0.05 cores; 0.3 avg is already a
+# sustained tenant burst. busy: executor JVM + its Python fold worker
+# legitimately overlap (~2 host cores per 1-core executor grant) plus
+# the driver — anything far beyond that is an interloper.
+STEAL_AVG_MAX = 0.30
+STEAL_P90_MAX = 1.00
+BUSY_SLACK = 3.0  # allowed beyond 2*e + 1 (JVM+py per exec, + driver)
+
+
+def _stat():
+    f = open("/proc/stat").readline().split()
+    v = [int(x) for x in f[1:]]
+    return sum(v), v[3] + v[4], v[7]  # total, idle+iowait, steal
+
+
+class Sampler(threading.Thread):
+    def __init__(self, period: float = 2.0):
+        super().__init__(daemon=True)
+        self.period = period
+        self.samples: list[tuple[float, float]] = []  # (busy, steal) cores
+        self._halt = threading.Event()
+
+    def run(self):
+        prev = _stat()
+        while not self._halt.wait(self.period):
+            cur = _stat()
+            dt = cur[0] - prev[0]
+            if dt > 0:
+                busy = (dt - (cur[1] - prev[1])) / dt * NCPU
+                steal = (cur[2] - prev[2]) / dt * NCPU
+                self.samples.append((busy, steal))
+            prev = cur
+
+    def stop(self) -> dict:
+        self._halt.set()
+        self.join(timeout=5)
+        if not self.samples:
+            return {"n_samples": 0}
+        busy = sorted(s[0] for s in self.samples)
+        steal = sorted(s[1] for s in self.samples)
+        p = lambda xs, q: xs[min(len(xs) - 1, int(q * len(xs)))]
+        return {
+            "n_samples": len(busy),
+            "busy_avg": round(sum(busy) / len(busy), 2),
+            "busy_p90": round(p(busy, 0.90), 2),
+            "busy_max": round(busy[-1], 2),
+            "steal_avg": round(sum(steal) / len(steal), 3),
+            "steal_p90": round(p(steal, 0.90), 3),
+            "steal_max": round(steal[-1], 3),
+        }
+
+
+def leg_clean(e: int, noise: dict) -> tuple[bool, list[str]]:
+    reasons = []
+    if noise.get("n_samples", 0) == 0:
+        return False, ["no noise samples"]
+    if noise["steal_avg"] > STEAL_AVG_MAX:
+        reasons.append(f"steal_avg {noise['steal_avg']} > {STEAL_AVG_MAX}")
+    if noise["steal_p90"] > STEAL_P90_MAX:
+        reasons.append(f"steal_p90 {noise['steal_p90']} > {STEAL_P90_MAX}")
+    busy_max_allowed = 2 * e + 1 + BUSY_SLACK
+    if noise["busy_avg"] > busy_max_allowed:
+        reasons.append(f"busy_avg {noise['busy_avg']} > {busy_max_allowed}")
+    return not reasons, reasons
+
+
+def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
+            storage: str = "disk") -> dict:
+    base, local = STORAGE[storage], LOCALDIR[storage]
+    log = os.path.join(base, "binlog48")
+    table = os.path.join(base, f"v2_{e}")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(local, ignore_errors=True)
+    # page-cache pre-warm: steady-state replay compute, not cold reads
+    subprocess.run(f"cat {log}/*/*.parquet > /dev/null 2>&1", shell=True)
+    env = dict(
+        os.environ,
+        SPARK_MASTER_OVERRIDE=f"local-cluster[{e},1,6144]",
+        SPARK_LOCAL_DIRS_OVERRIDE=local,
+        SPARK_DRIVER_MEM="8g",
+        SPARK_BCAST_THRESHOLD="10m",
+        SPARK_MAX_PARTITION_BYTES="32m",
+    )
+    if exec_opts:
+        env["SPARK_EXECUTOR_JAVA_OPTS"] = exec_opts
+    sampler = Sampler()
+    sampler.start()
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, "-m", "agr_loader_spark", "--workdir", base,
+         "--binlog", log, "--table", table, "--cores", str(e),
+         "--n-buckets", "64", "--warmup"],
+        capture_output=True, text=True, cwd=REPO, env=env,
+    )
+    total_wall = round(time.monotonic() - t0, 1)
+    noise = sampler.stop()
+    result = None
+    if proc.returncode == 0:
+        try:
+            result = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            pass
+    if result is None:
+        sys.stderr.write(proc.stderr[-2000:] + "\n")
+    clean, reasons = leg_clean(e, noise)
+    seg = os.path.join(table, "_metrics.jsonl")
+    if os.path.exists(seg) and out_segdir:
+        os.makedirs(out_segdir, exist_ok=True)
+        shutil.copy(seg, os.path.join(out_segdir, f"rep{rep}_{e}exec.jsonl"))
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(local, ignore_errors=True)
+    return {"executors": e, "rep": rep, "result": result, "noise": noise,
+            "storage": storage,
+            "clean": clean and result is not None, "dirty_reasons": reasons,
+            "total_wall_incl_startup": total_wall}
+
+
+def calibrate() -> dict | None:
+    p = subprocess.run([sys.executable, "tools/host_calibrate.py"],
+                       capture_output=True, text=True, cwd=REPO)
+    try:
+        cal = json.loads(p.stdout.strip())
+    except ValueError:
+        return None
+    return cal if p.returncode == 0 else None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH/scaling_r3v2.jsonl")
+    ap.add_argument("--segdir", default="BENCH/segmetrics_r3v2")
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--max-attempts", type=int, default=12)
+    ap.add_argument("--exec-opts", default="")
+    ap.add_argument("--storage", choices=["disk", "shm"], default="disk")
+    ap.add_argument("--legs", default=None,
+                    help="one-off: run just these legs once, e.g. '4' or '1,4'")
+    args = ap.parse_args()
+    out = os.path.join(REPO, args.out)
+    segdir = os.path.join(REPO, args.segdir)
+
+    def emit(rec):
+        with open(out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    log = os.path.join(STORAGE[args.storage], "binlog48")
+    if not os.path.isdir(log):
+        sys.stderr.write(f"missing log {log}\n")
+        return 2
+
+    if args.legs:
+        for e in [int(x) for x in args.legs.split(",")]:
+            rec = run_leg(e, 0, segdir, args.exec_opts, args.storage)
+            rec["oneoff"] = True
+            rec["exec_opts"] = args.exec_opts
+            emit(rec)
+            print(json.dumps(rec))
+        return 0
+
+    clean_pairs = 0
+    for attempt in range(1, args.max_attempts + 1):
+        if clean_pairs >= args.pairs:
+            break
+        cal = calibrate()
+        if cal is None:
+            sys.stderr.write(f"attempt {attempt}: calibration gate closed, waiting\n")
+            time.sleep(45)
+            continue
+        rep = clean_pairs + 1
+        # 4-exec leg first: it is the noise-sensitive one and 3x cheaper,
+        # so a dirty host costs 2.5 min to detect instead of 7
+        leg4 = run_leg(4, rep, segdir, args.exec_opts, args.storage)
+        leg4.update(attempt=attempt, calibration=cal, exec_opts=args.exec_opts)
+        emit(leg4)
+        sys.stderr.write(f"attempt {attempt} 4exec: clean={leg4['clean']} "
+                         f"{leg4.get('noise')}\n")
+        if not leg4["clean"]:
+            continue
+        leg1 = run_leg(1, rep, segdir, args.exec_opts, args.storage)
+        leg1.update(attempt=attempt, calibration=cal, exec_opts=args.exec_opts)
+        emit(leg1)
+        sys.stderr.write(f"attempt {attempt} 1exec: clean={leg1['clean']} "
+                         f"{leg1.get('noise')}\n")
+        if leg1["clean"] and leg1["result"] and leg4["result"]:
+            t1 = leg1["result"]["wall_seconds"]
+            t4 = leg4["result"]["wall_seconds"]
+            eff = t1 / (4 * t4)
+            emit({"pair": rep, "attempt": attempt, "t1": t1, "t4": t4,
+                  "efficiency": round(eff, 3)})
+            sys.stderr.write(f"PAIR {rep}: t1={t1} t4={t4} eff={eff:.3f}\n")
+            clean_pairs += 1
+    sys.stderr.write(f"DONE: {clean_pairs} clean pairs\n")
+    return 0 if clean_pairs >= args.pairs else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -11,6 +11,13 @@ import sys
 
 def main(path: str) -> int:
     rows = [json.loads(l) for l in open(path) if l.strip()]
+    # v2 (run_scaling_v2.py) emits per-leg records with a `clean` noise
+    # verdict plus one `pair` record per accepted clean pair; the
+    # protocol statistic there is the median of clean-pair efficiencies
+    pairs = [r for r in rows if "pair" in r]
+    dirty = [r for r in rows if "clean" in r and not r["clean"]]
+    rows = [r for r in rows if "executors" in r and r.get("clean", True)
+            and r.get("result")]
     by_exec: dict[int, list] = {}
     for r in rows:
         by_exec.setdefault(int(r["executors"]), []).append(r["result"])
@@ -37,6 +44,14 @@ def main(path: str) -> int:
         out["scaling"] = {
             "from_executors": lo, "to_executors": hi,
             "efficiency_median": round(eff, 3),
+        }
+    if pairs:
+        effs = sorted(p["efficiency"] for p in pairs)
+        out["clean_pairs"] = {
+            "n": len(effs),
+            "efficiencies": effs,
+            "efficiency_median": round(statistics.median(effs), 3),
+            "dirty_legs_discarded": len(dirty),
         }
     print(json.dumps(out, indent=1))
     return 0
