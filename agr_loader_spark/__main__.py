@@ -36,9 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stop-after", type=int, default=None,
                    help="crash-inject: stop after N segment commits")
     p.add_argument("--no-schema-changes", action="store_true")
-    p.add_argument("--sink", choices=["arrow", "jvm"], default="arrow",
-                   help="merge path: 2-stage Arrow state-colocated fold (default) "
-                        "or pure-JVM join merge")
+    p.add_argument("--sink", choices=["arrow", "jvm", "delta"], default="arrow",
+                   help="merge path: 2-stage Arrow state-colocated COW fold "
+                        "(default), pure-JVM join merge, or write-optimized "
+                        "merge-on-read delta sink (state never read during "
+                        "ingest; compacted after the last segment)")
     p.add_argument("--pipeline", action="store_true",
                    help="async fold overlap: prefetch the next segment's "
                         "scan+shuffle (schema-aware) under the current fold")

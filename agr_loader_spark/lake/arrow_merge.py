@@ -191,6 +191,217 @@ def make_bucket_fold(
     return fold
 
 
+def make_bucket_fold_arrow(
+    root: str,
+    stage_rel: str,
+    key: str,
+    current: list,
+    schema_versions: dict[int, list],
+    bucket_files: dict[int, list[dict]],
+    op_col: str,
+    lsn_col: str,
+    bucket_col: str,
+    update_only: bool = False,
+):
+    """Arrow-END-TO-END variant of :func:`make_bucket_fold` for Spark's
+    ``applyInArrow`` (pyspark >= 4.0): the batch arrives as a
+    ``pa.Table``, state is read as a ``pa.Table``, and LWW winner
+    selection is one stable sort + two boolean masks — the payload
+    columns (token arrays) are NEVER converted to pandas. The pandas
+    fold boxes every list value into a per-row numpy object (~2 extra
+    full copies of the state per merge plus per-row allocation); at
+    100 TB the fold is memory-bandwidth-bound, so those copies are the
+    sink's dominant avoidable cost. Semantics are identical (see
+    tests/test_lake.py::test_arrow_and_pandas_folds_equal):
+
+      sort (key asc, lsn desc, stable) ->
+      mask 1: first occurrence per (key, lsn)  == re-delivery dedup
+      mask 2: first occurrence per key         == max-lsn LWW winner
+      winners with op 'D' are dropped (counted), op 'U' written.
+    """
+    import pyarrow.compute as pc
+
+    names = [c.name for c in current]
+    out_pa_schema = arrow_schema(current)
+    combined_fields = list(out_pa_schema) + [
+        pa.field(op_col, pa.string()), pa.field(lsn_col, pa.int64()),
+    ]
+    combined_schema = pa.schema(combined_fields)
+
+    def _first_mask(arr: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+        """Boolean mask: True where row i differs from row i-1."""
+        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        out = np.empty(n, dtype=bool)
+        out[0] = True
+        out[1:] = neq.to_numpy(zero_copy_only=False)
+        return out
+
+    def fold(t: pa.Table) -> pa.Table:
+        bucket = t.column(bucket_col)[0].as_py()
+        lsn_raw = t.column(lsn_col).cast(pa.int64())
+        b_min_lsn = pc.min(lsn_raw).as_py()
+        b_max_lsn = pc.max(lsn_raw).as_py()
+        batch = pa.Table.from_arrays(
+            [t.column(c.name).cast(arrow_type(c.type)) for c in current]
+            + [t.column(op_col).cast(pa.string()), lsn_raw],
+            schema=combined_schema,
+        )
+
+        state = read_bucket_state(bucket_files.get(bucket, []), schema_versions,
+                                  current, root)
+        n_state = 0
+        state_keys = None
+        if state is not None and len(state):
+            n_state = len(state)
+            # constant op='U' / lsn=-1 columns, built arrow-native
+            op_arr = pc.fill_null(pa.nulls(n_state, pa.string()), "U")
+            lsn_arr = pc.fill_null(pa.nulls(n_state, pa.int64()), -1)
+            state_t = pa.Table.from_arrays(
+                [state.column(c.name) for c in current] + [op_arr, lsn_arr],
+                schema=combined_schema,
+            )
+            if update_only:
+                state_keys = state.column(key).combine_chunks()
+            combined = pa.concat_tables([state_t, batch])
+        else:
+            combined = batch
+
+        n = len(combined)
+        idx = pc.sort_indices(
+            combined,
+            sort_keys=[(key, "ascending"), (lsn_col, "descending")],
+        )
+        srt = combined.take(idx)
+        k = srt.column(key).combine_chunks()
+        if n > 1:
+            pair_mask = _first_mask(k, n) | _first_mask(
+                srt.column(lsn_col).combine_chunks(), n)
+            dedup = srt.filter(pa.array(pair_mask))
+        else:
+            dedup = srt
+        n2 = len(dedup)
+        k2 = dedup.column(key).combine_chunks()
+        winners = dedup.filter(pa.array(_first_mask(k2, n2))) if n2 > 1 else dedup
+
+        ops = winners.column(op_col)
+        n_deletes_applied = int(pc.sum(pc.equal(ops, "D")).as_py() or 0)
+        win = winners.filter(pc.equal(ops, "U"))
+        if update_only:
+            if state_keys is not None and len(win):
+                win = win.filter(pc.is_in(win.column(key), value_set=state_keys))
+            else:
+                win = win.slice(0, 0)
+        n_upserts = int(
+            (pc.sum(pc.equal(dedup.column(op_col), "U")).as_py() or 0) - n_state
+        )
+
+        rel_path = None
+        if len(win):
+            bdir = os.path.join(root, stage_rel, f"{bucket_col}={bucket}")
+            os.makedirs(bdir, exist_ok=True)
+            final = os.path.join(bdir, "part-0.parquet")
+            tmp = final + ".inprogress"
+            out = pa.Table.from_arrays(
+                [win.column(nm) for nm in names], schema=out_pa_schema
+            )
+            pq.write_table(out, tmp, compression="snappy")
+            os.replace(tmp, final)
+            rel_path = os.path.join(stage_rel, f"{bucket_col}={bucket}",
+                                    "part-0.parquet")
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int32()),
+                "path": pa.array([rel_path], pa.string()),
+                "n_rows": pa.array([len(win)], pa.int64()),
+                "n_upserts": pa.array([n_upserts], pa.int64()),
+                "n_deletes": pa.array([n_deletes_applied], pa.int64()),
+                "min_lsn": pa.array([b_min_lsn], pa.int64()),
+                "max_lsn": pa.array([b_max_lsn], pa.int64()),
+            }
+        )
+
+    return fold
+
+
+DELTA_LSN = "__lsn"
+DELTA_SEQ = "__seq"
+
+
+def make_bucket_delta_fold(
+    root: str,
+    stage_rel: str,
+    key: str,
+    current: list,
+    op_col: str,
+    lsn_col: str,
+    bucket_col: str,
+    seq: int,
+):
+    """Write-optimized MERGE-ON-READ commit fold: the micro-batch is
+    deduped and LWW-reduced WITHIN ITSELF and written as a per-bucket
+    DELTA file — the bucket's current state is never read. Delete
+    winners are retained as tombstone rows (op 'D'); LWW across
+    base+deltas resolves at read time by (lsn, seq) — see
+    LakeTable.merge_delta / _read_mor — and compaction collapses a
+    bucket back to a single base file.
+
+    This is the standard high-commit-rate CDC sink shape (Hudi MOR /
+    Paimon LSM): ingest cost is O(batch) writes with zero read
+    amplification, at the price of a merge step on read until
+    compaction. The reference has no analog (every load rewrites
+    through Neo4j MERGE); the COW fold (make_bucket_fold*) remains the
+    read-optimized default.
+
+    Delta files carry ``__op``/``__lsn``/``__seq`` alongside the
+    current schema's columns; ``__seq`` (= committing snapshot id,
+    constant per file) breaks (key, lsn) ties across commits so a
+    re-delivered event in a later commit resolves deterministically.
+    """
+    names = [c.name for c in current]
+    out_pa_schema = pa.schema(
+        list(arrow_schema(current))
+        + [pa.field("__op", pa.string()), pa.field(DELTA_LSN, pa.int64()),
+           pa.field(DELTA_SEQ, pa.int64())]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf[bucket_col].iloc[0])
+        b_min_lsn = int(pdf[lsn_col].min())
+        b_max_lsn = int(pdf[lsn_col].max())
+        pdf = pdf.drop_duplicates(subset=[key, lsn_col])
+        win = pdf.loc[pdf.groupby(key, sort=False)[lsn_col].idxmax()]
+        n_deletes = int((win[op_col] == "D").sum())
+        n_upserts = int((win[op_col] == "U").sum())
+        out = win[names + [op_col, lsn_col]].rename(
+            columns={op_col: "__op", lsn_col: DELTA_LSN}
+        )
+        out[DELTA_SEQ] = np.int64(seq)
+
+        bdir = os.path.join(root, stage_rel, f"{bucket_col}={bucket}")
+        os.makedirs(bdir, exist_ok=True)
+        final = os.path.join(bdir, "part-0.parquet")
+        tmp = final + ".inprogress"
+        pq.write_table(
+            pa.Table.from_pandas(out, schema=out_pa_schema, preserve_index=False),
+            tmp, compression="snappy",
+        )
+        os.replace(tmp, final)
+        rel_path = os.path.join(stage_rel, f"{bucket_col}={bucket}", "part-0.parquet")
+        return pd.DataFrame(
+            {
+                "bucket": pd.array([bucket], dtype="int32"),
+                "path": [rel_path],
+                "n_rows": pd.array([len(out)], dtype="int64"),
+                "n_upserts": pd.array([n_upserts], dtype="int64"),
+                "n_deletes": pd.array([n_deletes], dtype="int64"),
+                "min_lsn": pd.array([b_min_lsn], dtype="int64"),
+                "max_lsn": pd.array([b_max_lsn], dtype="int64"),
+            }
+        )
+
+    return fold
+
+
 def numpy_tokens_equal(a, b) -> bool:
     """Exact token-array equality helper (tests)."""
     if a is None or b is None:

@@ -181,12 +181,22 @@ class LakeTable:
     def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """Current state under the current schema. Old-schema files are
         projected by field id (rename/widen/null-fill) — metadata-only
-        evolution, no rewrite (Iceberg-style)."""
+        evolution, no rewrite (Iceberg-style). Buckets carrying MOR
+        delta files (merge_delta) are LWW-resolved transparently — the
+        classic merge-on-read cost, paid until compact() collapses
+        them."""
         cur = self.columns()
         sel_buckets = self._m["buckets"]
         if buckets is not None:
             want = {str(b) for b in buckets}
             sel_buckets = {b: fs for b, fs in sel_buckets.items() if b in want}
+        if any(fe.get("kind") == "delta" for fs in sel_buckets.values() for fe in fs):
+            names = [c.name for c in cur]
+            return (
+                self._read_mor(sel_buckets, cur)
+                .filter(F.col(OP_COL) == "U")
+                .select(*names)
+            )
         by_version: dict[int, list[str]] = {}
         for files in sel_buckets.values():
             for fe in files:
@@ -211,6 +221,59 @@ class LakeTable:
         for fdf in frames[1:]:
             out = out.unionByName(fdf)
         return out
+
+    def _read_mor(self, sel_buckets: dict, cur: list) -> DataFrame:
+        """Merge-on-read resolution over base + delta files: one JVM-side
+        max_by per key ordered by (__lsn, __seq) — base rows rank as
+        (-1, -1), so any delta event beats them, later commits break
+        (key, lsn) ties. Returns current columns + __op + __lsn
+        (tombstone winners INCLUDED — callers filter or compact them).
+        One extra hash shuffle vs the base-only read: the standard MOR
+        read amplification that compact() amortizes away."""
+        from .arrow_merge import DELTA_LSN, DELTA_SEQ
+
+        by_group: dict[tuple[int, str], list[str]] = {}
+        for files in sel_buckets.values():
+            for fe in files:
+                by_group.setdefault(
+                    (fe["schema_version"], fe.get("kind", "base")), []
+                ).append(os.path.join(self.root, fe["path"]))
+        names = [c.name for c in cur]
+        frames = []
+        for (v, kind), paths in sorted(by_group.items()):
+            old = {c.id: c for c in self.columns(v)}
+            raw = self.spark.read.parquet(*paths)
+            proj = []
+            for c in cur:
+                o = old.get(c.id)
+                if o is None:
+                    proj.append(F.lit(None).cast(c.type).alias(c.name))
+                else:
+                    proj.append(F.col(o.name).cast(c.type).alias(c.name))
+            if kind == "delta":
+                proj += [F.col(OP_COL), F.col(DELTA_LSN), F.col(DELTA_SEQ)]
+            else:
+                proj += [
+                    F.lit("U").alias(OP_COL),
+                    F.lit(-1).cast("long").alias(DELTA_LSN),
+                    F.lit(-1).cast("long").alias(DELTA_SEQ),
+                ]
+            frames.append(raw.select(*proj))
+        if not frames:
+            schema = self.spark_schema().add(OP_COL, "string") \
+                .add(DELTA_LSN, "long").add(DELTA_SEQ, "long")
+            empty = self.spark.createDataFrame([], schema)
+            return empty.drop(DELTA_SEQ)
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        val = F.struct(*[F.col(n) for n in names], F.col(OP_COL), F.col(DELTA_LSN))
+        order = F.struct(F.col(DELTA_LSN), F.col(DELTA_SEQ))
+        return (
+            out.groupBy(self.key)
+            .agg(F.max_by(val, order).alias("__w"))
+            .select("__w.*")
+        )
 
     # ---------------------------------------------------------------- merge
     def merge(
@@ -448,6 +511,7 @@ class LakeTable:
         touched_buckets: Sequence[int] | None = None,
         prepared: bool = False,
         mode: str = "lww",  # "lww" | "update_only"
+        replace_state: bool = False,
     ) -> dict:
         """Two-stage Arrow-native merge (see lake/arrow_merge.py).
 
@@ -456,8 +520,15 @@ class LakeTable:
         inside the bucket fold, so the caller's whole pipeline is
         scan -> project -> one shuffle -> fold/write. ``mode=
         'update_only'`` patches matched keys only (no insert branch).
+        ``replace_state=True`` ignores the buckets' existing files and
+        rewrites each touched bucket purely from ``changes`` — the
+        compaction path, where ``changes`` IS the resolved state.
         """
-        from .arrow_merge import MANIFEST_SCHEMA, make_bucket_fold
+        from .arrow_merge import (
+            MANIFEST_SCHEMA,
+            make_bucket_fold,
+            make_bucket_fold_arrow,
+        )
 
         if mode not in ("lww", "update_only"):
             raise ValueError(f"unknown merge mode {mode!r}")
@@ -480,7 +551,20 @@ class LakeTable:
 
         new_sid = self.snapshot_id + 1
         stage_rel = os.path.join("data", str(new_sid))
-        fold = make_bucket_fold(
+        # fold engine: pandas (applyInPandas) is the measured default —
+        # the applyInArrow variant (make_bucket_fold_arrow, payload never
+        # converted to pandas) proved state+manifest-identical but ~5%
+        # SLOWER on clean 48M-event replay legs (BENCH/ab_fold_*.jsonl:
+        # pandas 153.6/168.8 s vs arrow 179.5/160.7 s, 4-exec) and at
+        # parity in-process: bucket fold cost is dominated by parquet
+        # IO, not by the pandas conversion. Kept selectable for
+        # future shapes where payload boxing dominates (very wide or
+        # deeply nested rows).
+        use_arrow_fold = (
+            os.environ.get("SPARK_GRAFT_FOLD", "pandas").lower() == "arrow"
+        )
+        make_fold = make_bucket_fold_arrow if use_arrow_fold else make_bucket_fold
+        fold = make_fold(
             root=self.root,
             stage_rel=stage_rel,
             key=self.key,
@@ -489,7 +573,7 @@ class LakeTable:
                 int(v): [ColumnSpec.from_json(d) for d in cols]
                 for v, cols in self._m["schema_versions"].items()
             },
-            bucket_files={
+            bucket_files={} if replace_state else {
                 int(b): fs
                 for b, fs in self._m["buckets"].items()
                 if int(b) in set(touched)
@@ -503,11 +587,13 @@ class LakeTable:
         # distribution (hash(bucket) directly, or hash(__pk) leading the
         # grouping for the balanced layout), so no second shuffle here.
         group_cols = (["__pk"] if "__pk" in changes.columns else []) + [BUCKET_COL]
-        manifests = (
-            changes.groupBy(*group_cols)
-            .applyInPandas(fold, schema=MANIFEST_SCHEMA)
-            .collect()
+        grouped = changes.groupBy(*group_cols)
+        folded = (
+            grouped.applyInArrow(fold, schema=MANIFEST_SCHEMA)
+            if use_arrow_fold
+            else grouped.applyInPandas(fold, schema=MANIFEST_SCHEMA)
         )
+        manifests = folded.collect()
 
         sv = self._m["schema_version"]
         new_buckets = dict(self._m["buckets"])
@@ -537,12 +623,132 @@ class LakeTable:
                 "per_bucket_offsets": per_bucket,
             }
         )
-        m = self._child_manifest(new_sid, "merge-arrow", epoch_key)
+        m = self._child_manifest(
+            new_sid, "compact" if replace_state else "merge-arrow", epoch_key
+        )
         m["buckets"] = new_buckets
         m["lineage"].append(lin)
         self._commit(m)
         self._m = m
         return {"skipped": False, **lin}
+
+    def merge_delta(
+        self,
+        changes: DataFrame,
+        epoch_key: str,
+        lsn_col: str,
+        lineage: dict | None = None,
+        touched_buckets: Sequence[int] | None = None,
+        prepared: bool = False,
+    ) -> dict:
+        """Write-optimized MERGE-ON-READ commit (Hudi-MOR / Paimon-LSM
+        analog; see arrow_merge.make_bucket_delta_fold): the micro-batch
+        is LWW-reduced within itself and APPENDED as per-bucket delta
+        files — existing state is never read, so ingest cost is
+        O(batch) with zero read amplification and the sink scales as
+        pure writes. read() resolves LWW across base+deltas by
+        (__lsn, __seq); compact() collapses buckets back to base files.
+        Same exactly-once manifest commit as merge_arrow."""
+        from .arrow_merge import MANIFEST_SCHEMA, make_bucket_delta_fold
+
+        if epoch_key in self.applied_epochs():
+            return {"skipped": True, "epoch_key": epoch_key,
+                    "snapshot_id": self.snapshot_id}
+        cur = self.columns()
+        if touched_buckets is None:
+            if not prepared:
+                changes = self.prepare_changes(changes, lsn_col, self.n_buckets)
+                prepared = True
+            touched_buckets = [
+                r[0] for r in changes.select(BUCKET_COL).distinct().collect()
+            ]
+        touched = sorted(int(b) for b in touched_buckets)
+        if not touched:
+            return self._commit_noop(epoch_key, lineage)
+        if not prepared:
+            changes = self.prepare_changes(changes, lsn_col, len(touched))
+
+        new_sid = self.snapshot_id + 1
+        stage_rel = os.path.join("data", str(new_sid))
+        fold = make_bucket_delta_fold(
+            root=self.root, stage_rel=stage_rel, key=self.key, current=cur,
+            op_col=OP_COL, lsn_col=lsn_col, bucket_col=BUCKET_COL, seq=new_sid,
+        )
+        group_cols = (["__pk"] if "__pk" in changes.columns else []) + [BUCKET_COL]
+        manifests = (
+            changes.groupBy(*group_cols)
+            .applyInPandas(fold, schema=MANIFEST_SCHEMA)
+            .collect()
+        )
+
+        sv = self._m["schema_version"]
+        new_buckets = dict(self._m["buckets"])
+        n_upserts = n_deletes = 0
+        per_bucket = {}
+        for r in manifests:
+            b = str(int(r["bucket"]))
+            if r["path"] is not None:
+                new_buckets[b] = list(new_buckets.get(b, [])) + [
+                    {"path": r["path"], "schema_version": sv,
+                     "kind": "delta", "seq": new_sid}
+                ]
+            n_upserts += int(r["n_upserts"])
+            n_deletes += int(r["n_deletes"])
+            per_bucket[b] = {"min_lsn": int(r["min_lsn"]),
+                             "max_lsn": int(r["max_lsn"])}
+
+        lin = _resolve_lineage(lineage)
+        lin.update(
+            {
+                "epoch_key": epoch_key,
+                "snapshot_id": new_sid,
+                "n_upserts": n_upserts,
+                "n_deletes": n_deletes,
+                "buckets_touched": touched,
+                "per_bucket_offsets": per_bucket,
+            }
+        )
+        m = self._child_manifest(new_sid, "merge-delta", epoch_key)
+        m["buckets"] = new_buckets
+        m["lineage"].append(lin)
+        self._commit(m)
+        self._m = m
+        return {"skipped": False, **lin}
+
+    def compact(self, buckets: Sequence[int] | None = None,
+                epoch_key: str | None = None) -> dict:
+        """Collapse MOR delta files back to one base file per bucket:
+        resolve LWW once (the same _read_mor the readers use — tombstone
+        winners included so deleted keys vanish physically), then
+        rewrite the touched buckets from the resolved rows via the COW
+        fold with ``replace_state=True``. No-op if the selected buckets
+        carry no deltas. The maintenance analog of Iceberg/Hudi
+        compaction; run it when read amplification (delta files per
+        bucket) exceeds the read-path budget."""
+        from .arrow_merge import DELTA_LSN
+
+        sel: dict[str, list] = {}
+        want = None if buckets is None else {int(b) for b in buckets}
+        for b, fs in self._m["buckets"].items():
+            if want is not None and int(b) not in want:
+                continue
+            if any(fe.get("kind") == "delta" for fe in fs):
+                sel[b] = fs
+        if not sel:
+            return {"skipped": True, "reason": "no delta files",
+                    "snapshot_id": self.snapshot_id}
+        cur = self.columns()
+        names = [c.name for c in cur]
+        resolved = self._read_mor(sel, cur)
+        changes = resolved.select(*names, F.col(OP_COL), F.col(DELTA_LSN))
+        touched = sorted(int(b) for b in sel)
+        return self.merge_arrow(
+            changes,
+            epoch_key=epoch_key or f"compact:{self.snapshot_id + 1}",
+            lsn_col=DELTA_LSN,
+            touched_buckets=touched,
+            replace_state=True,
+        )
 
     def audit_changes(
         self, changes: DataFrame, audit_path: str | None = None

@@ -53,8 +53,9 @@ class ReplayRunner:
         salt_buckets: int = 16,
         use_pandas_lww: bool = False,
         use_salted_lww: bool = False,
-        sink: str = "arrow",  # "arrow" (2-stage state-colocated) | "jvm"
+        sink: str = "arrow",  # "arrow" (2-stage state-colocated COW) | "jvm" | "delta" (write-optimized MOR)
         pipeline: bool = False,  # async fold overlap: prefetch the next segment's scan+shuffle (schema-aware) under the current fold
+        compact_at_end: bool = True,  # delta sink only: collapse MOR deltas to base files after the last segment (inside run(), so measured walls are apples-to-apples with the COW sink)
     ):
         if (source_path is None) == (source_df is None):
             raise ValueError("exactly one of source_path / source_df")
@@ -65,8 +66,11 @@ class ReplayRunner:
         self.salt_buckets = salt_buckets
         self.use_pandas_lww = use_pandas_lww
         self.use_salted_lww = use_salted_lww
+        if sink not in ("arrow", "jvm", "delta"):
+            raise ValueError(f"unknown sink {sink!r}")
         self.sink = sink
         self.pipeline = pipeline
+        self.compact_at_end = compact_at_end
 
     # ------------------------------------------------------------------ source
     def _events(self) -> DataFrame:
@@ -269,7 +273,7 @@ class ReplayRunner:
         committed = 0
         futures: dict[tuple[int, int], cf.Future] = {}
         pool = cf.ThreadPoolExecutor(max_workers=1) if (
-            self.pipeline and self.sink == "arrow"
+            self.pipeline and self.sink in ("arrow", "delta")
         ) else None
         try:
             for i, op in enumerate(ops):
@@ -319,6 +323,18 @@ class ReplayRunner:
                     committed += 1
                 if stop_after is not None and committed >= stop_after:
                     break
+            else:
+                # full replay (no crash-inject break): delta sink folds
+                # its deferred merge cost here so a measured MOR run ends
+                # in the same read-optimized state a COW run does
+                if self.sink == "delta" and self.compact_at_end:
+                    t0 = time.monotonic()
+                    c = dict(self.table.compact())
+                    if not c.get("skipped"):
+                        c["operation"] = "compact"
+                        c["seconds"] = round(time.monotonic() - t0, 4)
+                        self._emit(c)
+                        all_metrics.append(c)
             return all_metrics
         finally:
             for fut in futures.values():
@@ -349,7 +365,19 @@ class ReplayRunner:
             ),
         }
         touched = stats["buckets"] if stats is not None else []
-        if self.sink == "arrow":
+        if self.sink == "delta":
+            # MOR: same prepared stage-1; the fold appends delta files
+            # without ever reading bucket state
+            if prepared is None:
+                prepared = self._segment_prepared(epoch, lo, hi, len(touched),
+                                                  n_events or None)
+            result = self.table.merge_delta(
+                prepared, epoch_key=epoch_key, lsn_col="event_lsn",
+                lineage=lineage, touched_buckets=touched, prepared=True,
+            )
+            if hasattr(prepared, "unpersist"):
+                prepared.unpersist()
+        elif self.sink == "arrow":
             # LWW + re-delivery dedup happen inside the bucket fold; the
             # JVM side is scan -> project -> one shuffle
             if prepared is not None:

@@ -232,3 +232,56 @@ def test_audit_changes_dry_run(spark, tmproot):
     assert {r["doc_id"] for r in t.read().collect()} == {"a", "b"}
     # audit parquet persisted for offline review
     assert spark.read.parquet(tmproot + "/audit").count() == 4
+
+
+def test_arrow_and_pandas_folds_equal(spark, tmproot, monkeypatch):
+    """The applyInArrow fold and the pandas fold must produce identical
+    table state and manifests for the same change stream: re-delivered
+    (key, lsn) duplicates, interleaved deletes, winner-by-max-lsn,
+    empty buckets, and a schema-evolved old-schema state file."""
+
+    def _ch(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string,"
+            " __op string, event_lsn long",
+        )
+
+    batches = [
+        # seed state incl. a doc that later gets deleted
+        [("a", [1, 2], 2, "FB", "U", 1), ("b", [3], 1, "WB", "U", 2),
+         ("c", [4], 1, "MGI", "U", 3)],
+        # re-delivery of (a, 10) + out-of-order older event + delete
+        [("a", [9], 1, "FB", "U", 10), ("a", [9], 1, "FB", "U", 10),
+         ("a", [8], 1, "FB", "U", 5), ("b", None, None, None, "D", 11),
+         ("d", [6, 6], 2, "ZFIN", "U", 12)],
+    ]
+
+    states, metas = [], []
+    for engine in ("arrow", "pandas"):
+        monkeypatch.setenv("SPARK_GRAFT_FOLD", engine)
+        t = LakeTable.create(spark, f"{tmproot}/{engine}", COLS,
+                             key="doc_id", n_buckets=4)
+        m = []
+        for i, rows in enumerate(batches):
+            m.append(t.merge_arrow(_ch(rows), f"{i}:0", lsn_col="event_lsn"))
+        # schema evolution between merges: old-schema file projection
+        t.add_column("lang", "string", src_field="lang")
+        m.append(t.merge_arrow(
+            spark.createDataFrame(
+                [("c", [4, 4], 2, "MGI", "en", "U", 20)],
+                "doc_id string, tokens array<int>, n_tok int, source string,"
+                " lang string, __op string, event_lsn long",
+            ),
+            "2:0", lsn_col="event_lsn",
+        ))
+        states.append({r["doc_id"]: r.asDict() for r in t.read().collect()})
+        metas.append([{k: v for k, v in r.items() if k != "snapshot_id"}
+                      for r in m])
+
+    assert states[0] == states[1]
+    assert states[0]["a"]["tokens"] == [9]          # max-lsn wins, dup collapsed
+    assert "b" not in states[0]                      # delete applied
+    assert states[0]["d"]["lang"] is None            # evolved col null-filled
+    assert states[0]["c"]["lang"] == "en"
+    assert metas[0] == metas[1]                      # upsert/delete/lineage counts

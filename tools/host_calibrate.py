@@ -40,8 +40,25 @@ def main() -> int:
     four = _run_n(4)
     # perfect host: four == one (4 independent cores); ratio = one/four
     ratio = one / four if four else 0.0
+    # memory-bandwidth probe (recorded, NOT gated): the matmul burn is
+    # cache-resident and blind to memory-controller contention from
+    # other tenants of the physical host — which hits the bandwidth-
+    # bound replay fold and hits multi-JVM legs hardest. 1-vs-4-process
+    # 256MB memcpy scaling makes those windows visible in the record.
+    bw_burn = ("import numpy as np, time; a=np.zeros(32_000_000); "
+               "b=np.empty_like(a); t0=time.monotonic()\n"
+               "for _ in range(8): b[:] = a; a[:] = b\n"
+               "print(time.monotonic()-t0)")
+    global _BURN
+    compute_burn, _BURN = _BURN, bw_burn
+    bw1 = _run_n(1)
+    bw4 = _run_n(4)
+    _BURN = compute_burn
+    bw_ratio = bw1 / bw4 if bw4 else 0.0
     print(json.dumps({"t1": round(one, 2), "t4": round(four, 2),
-                      "quiet_ratio": round(ratio, 3)}))
+                      "quiet_ratio": round(ratio, 3),
+                      "bw1": round(bw1, 2), "bw4": round(bw4, 2),
+                      "bw_ratio": round(bw_ratio, 3)}))
     return 0 if ratio >= 0.9 else 1
 
 

@@ -123,7 +123,7 @@ def leg_clean(e: int, noise: dict) -> tuple[bool, list[str]]:
 
 
 def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
-            storage: str = "disk") -> dict:
+            storage: str = "disk", sink: str = "arrow") -> dict:
     base, local = STORAGE[storage], LOCALDIR[storage]
     log = os.path.join(base, "binlog48")
     table = os.path.join(base, f"v2_{e}")
@@ -147,7 +147,7 @@ def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
     proc = subprocess.run(
         [sys.executable, "-m", "agr_loader_spark", "--workdir", base,
          "--binlog", log, "--table", table, "--cores", str(e),
-         "--n-buckets", "64", "--warmup"],
+         "--n-buckets", "64", "--sink", sink, "--warmup"],
         capture_output=True, text=True, cwd=REPO, env=env,
     )
     total_wall = round(time.monotonic() - t0, 1)
@@ -168,7 +168,7 @@ def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(local, ignore_errors=True)
     return {"executors": e, "rep": rep, "result": result, "noise": noise,
-            "storage": storage,
+            "storage": storage, "sink": sink,
             "clean": clean and result is not None, "dirty_reasons": reasons,
             "total_wall_incl_startup": total_wall}
 
@@ -191,6 +191,7 @@ def main() -> int:
     ap.add_argument("--max-attempts", type=int, default=12)
     ap.add_argument("--exec-opts", default="")
     ap.add_argument("--storage", choices=["disk", "shm"], default="disk")
+    ap.add_argument("--sink", choices=["arrow", "jvm", "delta"], default="arrow")
     ap.add_argument("--legs", default=None,
                     help="one-off: run just these legs once, e.g. '4' or '1,4'")
     args = ap.parse_args()
@@ -208,7 +209,7 @@ def main() -> int:
 
     if args.legs:
         for e in [int(x) for x in args.legs.split(",")]:
-            rec = run_leg(e, 0, segdir, args.exec_opts, args.storage)
+            rec = run_leg(e, 0, segdir, args.exec_opts, args.storage, args.sink)
             rec["oneoff"] = True
             rec["exec_opts"] = args.exec_opts
             emit(rec)
@@ -227,14 +228,14 @@ def main() -> int:
         rep = clean_pairs + 1
         # 4-exec leg first: it is the noise-sensitive one and 3x cheaper,
         # so a dirty host costs 2.5 min to detect instead of 7
-        leg4 = run_leg(4, rep, segdir, args.exec_opts, args.storage)
+        leg4 = run_leg(4, rep, segdir, args.exec_opts, args.storage, args.sink)
         leg4.update(attempt=attempt, calibration=cal, exec_opts=args.exec_opts)
         emit(leg4)
         sys.stderr.write(f"attempt {attempt} 4exec: clean={leg4['clean']} "
                          f"{leg4.get('noise')}\n")
         if not leg4["clean"]:
             continue
-        leg1 = run_leg(1, rep, segdir, args.exec_opts, args.storage)
+        leg1 = run_leg(1, rep, segdir, args.exec_opts, args.storage, args.sink)
         leg1.update(attempt=attempt, calibration=cal, exec_opts=args.exec_opts)
         emit(leg1)
         sys.stderr.write(f"attempt {attempt} 1exec: clean={leg1['clean']} "
