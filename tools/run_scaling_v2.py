@@ -108,6 +108,46 @@ class Sampler(threading.Thread):
         }
 
 
+class BwProbe(threading.Thread):
+    """In-leg memory-bandwidth probe, RECORD-ONLY (no gating): every
+    ``period`` seconds time a 1 GB buffer-to-buffer copy. The fold is
+    bandwidth-bound and per-segment efficiencies swing 0.63-1.12 with
+    host bandwidth phases that the steal/busy monitor cannot see
+    (memory-controller contention from other tenants of the physical
+    host); this stamps every leg with its actual bandwidth context.
+    Cost ~0.3-1 s per probe on one core — identical tax on both legs."""
+
+    def __init__(self, period: float = 15.0):
+        super().__init__(daemon=True)
+        self.period = period
+        self.samples: list[float] = []
+        self._halt = threading.Event()
+
+    def run(self):
+        import numpy as np
+
+        a = np.zeros(32_000_000)
+        b = np.empty_like(a)
+        while not self._halt.wait(self.period):
+            t0 = time.monotonic()
+            for _ in range(2):
+                b[:] = a
+                a[:] = b
+            self.samples.append(round(time.monotonic() - t0, 3))
+
+    def stop(self) -> dict:
+        self._halt.set()
+        self.join(timeout=5)
+        if not self.samples:
+            return {}
+        s = sorted(self.samples)
+        return {
+            "bw_probe_med_s": s[len(s) // 2],
+            "bw_probe_max_s": s[-1],
+            "bw_probe_n": len(s),
+        }
+
+
 def leg_clean(e: int, noise: dict) -> tuple[bool, list[str]]:
     reasons = []
     if noise.get("n_samples", 0) == 0:
@@ -143,6 +183,8 @@ def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
         env["SPARK_EXECUTOR_JAVA_OPTS"] = exec_opts
     sampler = Sampler()
     sampler.start()
+    bw = BwProbe()
+    bw.start()
     t0 = time.monotonic()
     proc = subprocess.run(
         [sys.executable, "-m", "agr_loader_spark", "--workdir", base,
@@ -152,6 +194,7 @@ def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
     )
     total_wall = round(time.monotonic() - t0, 1)
     noise = sampler.stop()
+    noise.update(bw.stop())
     result = None
     if proc.returncode == 0:
         try:
