@@ -44,6 +44,61 @@ def q_cdc_lww_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same final-state semantics as cdc_lww_snapshot, but materialized
+    END-TO-END through the write-optimized merge-on-read sink
+    (lake/arrow_merge.py:make_bucket_delta_fold): the event log is
+    split into three lsn-ordered micro-batches, each committed with
+    LakeTable.merge_delta (bucket state never read during ingest,
+    deletes as tombstones), the deltas compacted back to base files,
+    and the snapshot read from the table. Oracle = the identical LWW
+    SQL the COW path uses — proving ingest-as-deltas + read-time
+    resolution + compaction composes to the same answer."""
+    import tempfile
+
+    from agr_loader_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    # the table dir must outlive this call (the returned frame scans it
+    # lazily when the driver collects), so no cleanup here — one tiny
+    # tmp table per invocation
+    root = tempfile.mkdtemp(prefix="mor_snapshot_")
+    t = LakeTable.create(
+        spark, root + "/t",
+        [("user_id", "bigint", "user_id"), ("event_id", "bigint", "event_id"),
+         ("event_type", "string", "event_type"), ("value", "double", "value")],
+        key="user_id", n_buckets=8,
+    )
+    hi = ev.agg(F.max("event_id")).first()[0] or 0
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    batches = [
+        ev.filter(F.col("event_id") <= cut1),
+        ev.filter((F.col("event_id") > cut1) & (F.col("event_id") <= cut2)),
+        ev.filter(F.col("event_id") > cut2),
+    ]
+    for i, b in enumerate(batches):
+        t.merge_delta(
+            b.select("user_id", "event_id", "event_type", "value", "__op",
+                     F.col("event_id").alias("event_lsn")),
+            epoch_key=f"{i}:0", lsn_col="event_lsn",
+        )
+    t.compact()
+    ts = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return (
+        t.read()
+        .join(ts, "event_id")  # event_id is globally unique in this table
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return (
@@ -635,6 +690,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
+        "cdc_mor_snapshot": q_cdc_mor_snapshot,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "order_priority": q_order_priority,
@@ -690,6 +746,9 @@ def oracle_sql() -> dict[str, str]:
                round(value, 6) AS last_value, ts AS last_ts
         FROM latest WHERE rn = 1 AND event_type <> 'error'
     """
+    # identical oracle to cdc_lww_snapshot: the MOR path (delta ingest +
+    # read-time resolution + compaction) must produce the same snapshot
+    sql["cdc_mor_snapshot"] = sql["cdc_lww_snapshot"]
     sql["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
