@@ -107,6 +107,15 @@ def get_spark(
     # ~0.73-0.77 pinned (BENCH/scaling_r3v2_ab.jsonl) — so no pinning is
     # done. Both scaling legs run identical worker configs either way;
     # the unpinned setting is also the max-throughput one.
+    # shuffle/spill codec, env-tunable: lz4 (Spark default) vs zstd —
+    # zstd shrinks shuffle bytes ~30% at extra CPU cost, the right
+    # trade when the cluster is network/memory-bandwidth-bound (the
+    # 4-exec replay leg here; also standard practice at 100 TB where
+    # shuffle crosses real networks). Measured per-workload in
+    # BENCH/BASELINE.md before changing any default.
+    codec = os.environ.get("SPARK_IO_CODEC")
+    if codec:
+        builder = builder.config("spark.io.compression.codec", codec)
     local_dir = os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
