@@ -235,6 +235,11 @@ def main() -> int:
     ap.add_argument("--exec-opts", default="")
     ap.add_argument("--storage", choices=["disk", "shm"], default="disk")
     ap.add_argument("--sink", choices=["arrow", "jvm", "delta"], default="arrow")
+    ap.add_argument("--sandwich", action="store_true",
+                    help="rep = 4exec, 1exec, 4exec; efficiency vs the MEAN "
+                         "of the two bracketing 4-exec legs. Host phases "
+                         "drift over the ~10 min separating a plain pair's "
+                         "legs; bracketing cancels the first-order drift.")
     ap.add_argument("--legs", default=None,
                     help="one-off: run just these legs once, e.g. '4' or '1,4'")
     args = ap.parse_args()
@@ -283,14 +288,32 @@ def main() -> int:
         emit(leg1)
         sys.stderr.write(f"attempt {attempt} 1exec: clean={leg1['clean']} "
                          f"{leg1.get('noise')}\n")
-        if leg1["clean"] and leg1["result"] and leg4["result"]:
-            t1 = leg1["result"]["wall_seconds"]
-            t4 = leg4["result"]["wall_seconds"]
+        if not (leg1["clean"] and leg1["result"] and leg4["result"]):
+            continue
+        t1 = leg1["result"]["wall_seconds"]
+        t4 = leg4["result"]["wall_seconds"]
+        if args.sandwich:
+            leg4b = run_leg(4, rep, segdir, args.exec_opts, args.storage,
+                            args.sink)
+            leg4b.update(attempt=attempt, calibration=cal,
+                         exec_opts=args.exec_opts, bracket="b")
+            emit(leg4b)
+            sys.stderr.write(f"attempt {attempt} 4exec(b): "
+                             f"clean={leg4b['clean']} {leg4b.get('noise')}\n")
+            if not (leg4b["clean"] and leg4b["result"]):
+                continue
+            t4b = leg4b["result"]["wall_seconds"]
+            eff = t1 / (4 * (t4 + t4b) / 2)
+            emit({"pair": rep, "attempt": attempt, "t1": t1, "t4": t4,
+                  "t4b": t4b, "sandwich": True, "efficiency": round(eff, 3)})
+            sys.stderr.write(f"SANDWICH {rep}: t1={t1} t4={t4}/{t4b} "
+                             f"eff={eff:.3f}\n")
+        else:
             eff = t1 / (4 * t4)
             emit({"pair": rep, "attempt": attempt, "t1": t1, "t4": t4,
                   "efficiency": round(eff, 3)})
             sys.stderr.write(f"PAIR {rep}: t1={t1} t4={t4} eff={eff:.3f}\n")
-            clean_pairs += 1
+        clean_pairs += 1
     sys.stderr.write(f"DONE: {clean_pairs} clean pairs\n")
     return 0 if clean_pairs >= args.pairs else 1
 
