@@ -52,7 +52,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 MANIFEST_SCHEMA = (
     "bucket int, path string, n_rows long, n_upserts long, n_deletes long, "
-    "min_lsn long, max_lsn long"
+    "min_lsn long, max_lsn long, n_dups long"
 )
 
 _ARROW_TYPES = {
@@ -135,8 +135,12 @@ def make_bucket_fold(
         b_min_lsn = int(pdf[lsn_col].min())
         b_max_lsn = int(pdf[lsn_col].max())
         # exact re-delivery dedup: co-location guarantees all copies of a
-        # (key, lsn) pair are in this group
+        # (key, lsn) pair are in this group. The dropped count is exact
+        # and free here — it replaces the planning pass's doc_id-decoding
+        # approx_count_distinct (see ReplayRunner._plan fast mode).
+        n_before = len(pdf)
         pdf = pdf.drop_duplicates(subset=[key, lsn_col])
+        n_dups = n_before - len(pdf)
 
         state = read_bucket_state(bucket_files.get(bucket, []), schema_versions,
                                   current, root)
@@ -185,6 +189,7 @@ def make_bucket_fold(
                 "n_deletes": pd.array([n_deletes_applied], dtype="int64"),
                 "min_lsn": pd.array([b_min_lsn], dtype="int64"),
                 "max_lsn": pd.array([b_max_lsn], dtype="int64"),
+                "n_dups": pd.array([n_dups], dtype="int64"),
             }
         )
 
@@ -279,6 +284,9 @@ def make_bucket_fold_arrow(
             dedup = srt.filter(pa.array(pair_mask))
         else:
             dedup = srt
+        # exact re-delivery count: state rows (unique keys, lsn=-1) never
+        # collide, so every dropped row is a duplicated (key, lsn) event
+        n_dups = n - len(dedup)
         n2 = len(dedup)
         k2 = dedup.column(key).combine_chunks()
         winners = dedup.filter(pa.array(_first_mask(k2, n2))) if n2 > 1 else dedup
@@ -317,6 +325,7 @@ def make_bucket_fold_arrow(
                 "n_deletes": pa.array([n_deletes_applied], pa.int64()),
                 "min_lsn": pa.array([b_min_lsn], pa.int64()),
                 "max_lsn": pa.array([b_max_lsn], pa.int64()),
+                "n_dups": pa.array([n_dups], pa.int64()),
             }
         )
 
@@ -368,7 +377,9 @@ def make_bucket_delta_fold(
         bucket = int(pdf[bucket_col].iloc[0])
         b_min_lsn = int(pdf[lsn_col].min())
         b_max_lsn = int(pdf[lsn_col].max())
+        n_before = len(pdf)
         pdf = pdf.drop_duplicates(subset=[key, lsn_col])
+        n_dups = n_before - len(pdf)
         win = pdf.loc[pdf.groupby(key, sort=False)[lsn_col].idxmax()]
         n_deletes = int((win[op_col] == "D").sum())
         n_upserts = int((win[op_col] == "U").sum())
@@ -396,6 +407,7 @@ def make_bucket_delta_fold(
                 "n_deletes": pd.array([n_deletes], dtype="int64"),
                 "min_lsn": pd.array([b_min_lsn], dtype="int64"),
                 "max_lsn": pd.array([b_max_lsn], dtype="int64"),
+                "n_dups": pd.array([n_dups], dtype="int64"),
             }
         )
 

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 from typing import Any, Sequence
 
@@ -593,11 +594,13 @@ class LakeTable:
             if use_arrow_fold
             else grouped.applyInPandas(fold, schema=MANIFEST_SCHEMA)
         )
+        _tj = time.monotonic()
         manifests = folded.collect()
+        sec_job = round(time.monotonic() - _tj, 4)
 
         sv = self._m["schema_version"]
         new_buckets = dict(self._m["buckets"])
-        n_upserts = n_deletes = 0
+        n_upserts = n_deletes = n_dups = 0
         per_bucket = {}
         for r in manifests:
             files = []
@@ -606,6 +609,7 @@ class LakeTable:
             new_buckets[str(int(r["bucket"]))] = files
             n_upserts += int(r["n_upserts"])
             n_deletes += int(r["n_deletes"])
+            n_dups += int(r["n_dups"])
             # per-partition lineage: source-offset range absorbed by this
             # bucket in this commit (north rule: offset -> snapshot id)
             per_bucket[str(int(r["bucket"]))] = {
@@ -619,7 +623,13 @@ class LakeTable:
                 "snapshot_id": new_sid,
                 "n_upserts": n_upserts,
                 "n_deletes": n_deletes,
-                "buckets_touched": touched,
+                # EXACT re-delivery dedup count, measured where the dedup
+                # happens (the bucket fold) — supersedes the planning
+                # pass's approx estimate in fast-plan mode
+                "n_duplicates_dropped": n_dups,
+                # actual touched set (buckets that received rows), not the
+                # caller's declared superset — fast-plan passes all buckets
+                "buckets_touched": sorted(int(r["bucket"]) for r in manifests),
                 "per_bucket_offsets": per_bucket,
             }
         )
@@ -630,7 +640,10 @@ class LakeTable:
         m["lineage"].append(lin)
         self._commit(m)
         self._m = m
-        return {"skipped": False, **lin}
+        # sec_job isolates the Spark job wall from the driver turn around
+        # it (plan build + manifest bookkeeping) — the per-commit fixed
+        # floor decomposition in BENCH/BASELINE.md reads these fields
+        return {"skipped": False, "sec_job": sec_job, **lin}
 
     def merge_delta(
         self,
@@ -683,7 +696,7 @@ class LakeTable:
 
         sv = self._m["schema_version"]
         new_buckets = dict(self._m["buckets"])
-        n_upserts = n_deletes = 0
+        n_upserts = n_deletes = n_dups = 0
         per_bucket = {}
         for r in manifests:
             b = str(int(r["bucket"]))
@@ -694,6 +707,7 @@ class LakeTable:
                 ]
             n_upserts += int(r["n_upserts"])
             n_deletes += int(r["n_deletes"])
+            n_dups += int(r["n_dups"])
             per_bucket[b] = {"min_lsn": int(r["min_lsn"]),
                              "max_lsn": int(r["max_lsn"])}
 
@@ -704,7 +718,8 @@ class LakeTable:
                 "snapshot_id": new_sid,
                 "n_upserts": n_upserts,
                 "n_deletes": n_deletes,
-                "buckets_touched": touched,
+                "n_duplicates_dropped": n_dups,
+                "buckets_touched": sorted(int(r["bucket"]) for r in manifests),
                 "per_bucket_offsets": per_bucket,
             }
         )

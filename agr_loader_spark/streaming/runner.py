@@ -96,11 +96,22 @@ class ReplayRunner:
     def _plan(self, epochs: list[int] | None):
         """ONE planning pass for the whole replay: collect the (rare)
         schema events, then compute per-segment stats — offsets, counts,
-        dup estimate, touched buckets — in a single grouped aggregation
-        over the log. The replay loop then runs exactly one Spark job
-        per micro-batch (the merge write); nothing else touches the
-        cluster. At 10^10 events this planning job scans 3 narrow
-        columns once, grouped by (epoch, segment)."""
+        and (full mode only) dup estimate + touched buckets — in a
+        single grouped aggregation over the log. The replay loop then
+        runs exactly one Spark job per micro-batch (the merge write);
+        nothing else touches the cluster.
+
+        Fast mode (the default for the fold sinks): the stats scan
+        touches ONLY (epoch, event_lsn, op) — fixed-width ints plus a
+        1-char string. The full mode additionally decodes every doc_id
+        (the widest hot column after the payload) to hash out a dup
+        estimate and a touched-bucket set; both are superseded on the
+        fold sinks, which count dedup EXACTLY inside the bucket fold
+        and record the actual touched set from the fold manifests. At
+        10^10 events the doc_id decode is the planning pass's dominant
+        cost, so fast mode roughly halves it; the jvm join-merge sink
+        still needs the touched set up front and keeps the full scan."""
+        fast = self.sink in ("arrow", "delta")
         ev = self._events()
         if epochs is not None:
             ev = ev.filter(F.col("epoch").isin(epochs))
@@ -122,22 +133,31 @@ class ReplayRunner:
                 (F.col("epoch") == r["epoch"]) & (F.col("event_lsn") > r["event_lsn"]), 2
             ).otherwise(0)
         data = ev.filter(F.col("op") != "S")
-        stats_rows = (
-            data.groupBy("epoch", seg_expr.alias("seg"))
-            .agg(
-                F.count("*").alias("n_events"),
-                F.min("event_lsn").alias("min_lsn"),
-                F.max("event_lsn").alias("max_lsn"),
+        aggs = [
+            F.count("*").alias("n_events"),
+            F.min("event_lsn").alias("min_lsn"),
+            F.max("event_lsn").alias("max_lsn"),
+        ]
+        if not fast:
+            aggs += [
                 # metrics-only: approx avoids a full (doc, lsn) dedup
                 # shuffle; hash the pair instead of building a string
                 F.approx_count_distinct(
                     F.xxhash64("doc_id", "event_lsn")
                 ).alias("n_unique"),
                 F.collect_set(self.table._bucket_expr(F.col("doc_id"))).alias("buckets"),
-            )
-            .collect()
-        )
-        stats = {(r["epoch"], r["seg"]): r for r in stats_rows}
+            ]
+        stats_rows = data.groupBy("epoch", seg_expr.alias("seg")).agg(*aggs).collect()
+        stats = {
+            (r["epoch"], r["seg"]): {
+                "n_events": r["n_events"],
+                "min_lsn": r["min_lsn"],
+                "max_lsn": r["max_lsn"],
+                "n_unique": None if fast else r["n_unique"],
+                "buckets": None if fast else r["buckets"],
+            }
+            for r in stats_rows
+        }
         all_epochs = sorted({e for e, _ in stats} | set(bounds_by_epoch))
         return all_epochs, bounds_by_epoch, stats
 
@@ -214,6 +234,17 @@ class ReplayRunner:
         seg = base.filter(cond).drop("epoch")
         return self.table.balanced_fold_repartition(seg, n_touched, n_rows)
 
+    def _touched(self, st) -> list[int]:
+        """Touched-bucket set for a segment's stats row: the exact set in
+        full-plan mode, ALL buckets in fast mode (the fold manifests then
+        record the actual set; an undeclared bucket with no rows forms no
+        group, so its state files carry forward untouched either way)."""
+        if st is None:
+            return []
+        if st.get("buckets") is not None:
+            return list(st["buckets"])
+        return list(range(self.table.n_buckets))
+
     @staticmethod
     def _future_cols(cols, sc) -> list:
         """Simulate a schema-change event's effect on a column-spec list
@@ -251,7 +282,7 @@ class ReplayRunner:
         from pyspark import StorageLevel
 
         st = stats.get((epoch, seg))
-        touched = st["buckets"] if st is not None else []
+        touched = self._touched(st)
         prepared = self._segment_prepared(
             epoch, lo, hi, len(touched),
             int(st["n_events"]) if st is not None else None,
@@ -267,7 +298,11 @@ class ReplayRunner:
         segment commits to perform before stopping)."""
         import concurrent.futures as cf
 
+        _tp = time.monotonic()
         all_epochs, bounds_by_epoch, stats = self._plan(epochs)
+        # metrics-only record (not a segment): how much of the leg the
+        # one-time planning pass costs — read by the scaling decomposition
+        self._emit({"operation": "plan", "seconds": round(time.monotonic() - _tp, 4)})
         ops = self._op_list(all_epochs, bounds_by_epoch)
         all_metrics: list[dict] = []
         committed = 0
@@ -360,11 +395,14 @@ class ReplayRunner:
             "min_lsn": int(stats["min_lsn"]) if stats is not None else None,
             "max_lsn": int(stats["max_lsn"]) if stats is not None else None,
             "n_events": n_events,
-            "n_duplicates_dropped_approx": (
-                max(0, n_events - int(stats["n_unique"])) if stats is not None else 0
-            ),
         }
-        touched = stats["buckets"] if stats is not None else []
+        if stats is not None and stats.get("n_unique") is not None:
+            # full-plan mode only; fold sinks record the EXACT count as
+            # n_duplicates_dropped from the fold manifests instead
+            lineage["n_duplicates_dropped_approx"] = max(
+                0, n_events - int(stats["n_unique"])
+            )
+        touched = self._touched(stats)
         if self.sink == "delta":
             # MOR: same prepared stage-1; the fold appends delta files
             # without ever reading bucket state

@@ -276,7 +276,8 @@ def test_arrow_and_pandas_folds_equal(spark, tmproot, monkeypatch):
             "2:0", lsn_col="event_lsn",
         ))
         states.append({r["doc_id"]: r.asDict() for r in t.read().collect()})
-        metas.append([{k: v for k, v in r.items() if k != "snapshot_id"}
+        metas.append([{k: v for k, v in r.items()
+                       if k not in ("snapshot_id", "sec_job")}
                       for r in m])
 
     assert states[0] == states[1]

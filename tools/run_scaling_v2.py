@@ -63,6 +63,17 @@ LOCALDIR = {"disk": "/tmp/spark_local", "shm": "/dev/shm/spark_local"}
 STEAL_AVG_MAX = 0.30
 STEAL_P90_MAX = 1.00
 BUSY_SLACK = 3.0  # allowed beyond 2*e + 1 (JVM+py per exec, + driver)
+# Bandwidth gate (pre-registered from the round-3 record before any
+# further runs): across the 14 clean round-3 legs the in-leg 1 GB-copy
+# probe measured bw_probe_max_s <= 3.0; the documented mid-leg
+# bandwidth collapses measured 4.2 / 5.7 / 17.0 and their segments'
+# efficiency fell to 0.45-0.61 (BENCH/BASELINE.md pair 2). The probe
+# taxes both legs identically, and the gate applies to BOTH legs of a
+# pair symmetrically, so it cannot bias the ratio — it only rejects
+# windows where the VM's shared memory controller (a resource a real
+# 4-node cluster owns per-node by construction) was being taken by
+# another tenant mid-leg. Dirty legs are recorded, never hidden.
+BW_PROBE_MAX_S = 3.5
 
 
 def _stat():
@@ -159,13 +170,17 @@ def leg_clean(e: int, noise: dict) -> tuple[bool, list[str]]:
     busy_max_allowed = 2 * e + 1 + BUSY_SLACK
     if noise["busy_avg"] > busy_max_allowed:
         reasons.append(f"busy_avg {noise['busy_avg']} > {busy_max_allowed}")
+    bw_max = noise.get("bw_probe_max_s")
+    if bw_max is not None and bw_max > BW_PROBE_MAX_S:
+        reasons.append(f"bw_probe_max_s {bw_max} > {BW_PROBE_MAX_S}")
     return not reasons, reasons
 
 
 def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
-            storage: str = "disk", sink: str = "arrow") -> dict:
+            storage: str = "disk", sink: str = "arrow",
+            log_name: str = "binlog48") -> dict:
     base, local = STORAGE[storage], LOCALDIR[storage]
-    log = os.path.join(base, "binlog48")
+    log = os.path.join(base, log_name)
     table = os.path.join(base, f"v2_{e}")
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(local, ignore_errors=True)
@@ -235,6 +250,12 @@ def main() -> int:
     ap.add_argument("--exec-opts", default="")
     ap.add_argument("--storage", choices=["disk", "shm"], default="disk")
     ap.add_argument("--sink", choices=["arrow", "jvm", "delta"], default="arrow")
+    ap.add_argument("--log", default="binlog48", dest="log_name",
+                    help="binlog dir name under the storage root (e.g. "
+                         "binlog96: 96M events, same 5 schema events — "
+                         "16M-event commit intervals, nearer the >=100M "
+                         "production regime where the per-commit floor "
+                         "amortizes)")
     ap.add_argument("--sandwich", action="store_true",
                     help="rep = 4exec, 1exec, 4exec; efficiency vs the MEAN "
                          "of the two bracketing 4-exec legs. Host phases "
@@ -250,14 +271,15 @@ def main() -> int:
         with open(out, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-    log = os.path.join(STORAGE[args.storage], "binlog48")
+    log = os.path.join(STORAGE[args.storage], args.log_name)
     if not os.path.isdir(log):
         sys.stderr.write(f"missing log {log}\n")
         return 2
 
     if args.legs:
         for e in [int(x) for x in args.legs.split(",")]:
-            rec = run_leg(e, 0, segdir, args.exec_opts, args.storage, args.sink)
+            rec = run_leg(e, 0, segdir, args.exec_opts, args.storage, args.sink,
+                          args.log_name)
             rec["oneoff"] = True
             rec["exec_opts"] = args.exec_opts
             emit(rec)
@@ -276,14 +298,16 @@ def main() -> int:
         rep = clean_pairs + 1
         # 4-exec leg first: it is the noise-sensitive one and 3x cheaper,
         # so a dirty host costs 2.5 min to detect instead of 7
-        leg4 = run_leg(4, rep, segdir, args.exec_opts, args.storage, args.sink)
+        leg4 = run_leg(4, rep, segdir, args.exec_opts, args.storage, args.sink,
+                       args.log_name)
         leg4.update(attempt=attempt, calibration=cal, exec_opts=args.exec_opts)
         emit(leg4)
         sys.stderr.write(f"attempt {attempt} 4exec: clean={leg4['clean']} "
                          f"{leg4.get('noise')}\n")
         if not leg4["clean"]:
             continue
-        leg1 = run_leg(1, rep, segdir, args.exec_opts, args.storage, args.sink)
+        leg1 = run_leg(1, rep, segdir, args.exec_opts, args.storage, args.sink,
+                       args.log_name)
         leg1.update(attempt=attempt, calibration=cal, exec_opts=args.exec_opts)
         emit(leg1)
         sys.stderr.write(f"attempt {attempt} 1exec: clean={leg1['clean']} "
@@ -294,7 +318,7 @@ def main() -> int:
         t4 = leg4["result"]["wall_seconds"]
         if args.sandwich:
             leg4b = run_leg(4, rep, segdir, args.exec_opts, args.storage,
-                            args.sink)
+                            args.sink, args.log_name)
             leg4b.update(attempt=attempt, calibration=cal,
                          exec_opts=args.exec_opts, bracket="b")
             emit(leg4b)
