@@ -15,9 +15,9 @@ breaks reproducibility, src/etl/bgi_etl.py:509). Two hash backends:
 
 - ``xxhash64`` (default): JVM-side, fastest — the production path.
 - ``md5``: byte-identical in every engine (Spark, DuckDB, Python), so
-  the DuckDB oracle can recompute assignments exactly. Same 2^-?? ...
-  both are uniform; md5 costs ~2x xxhash64 but is still whole-stage
-  codegen, no Python.
+  the DuckDB oracle can recompute assignments exactly. Both backends
+  are uniform over their bucket range; md5 costs ~2x xxhash64 but is
+  still whole-stage codegen, no Python.
 
 Scale design: splits and samples are stateless row-local expressions
 (no shuffle at all — they survive any partitioning); packing windows

@@ -59,7 +59,13 @@ def main() -> int:
                       "quiet_ratio": round(ratio, 3),
                       "bw1": round(bw1, 2), "bw4": round(bw4, 2),
                       "bw_ratio": round(bw_ratio, 3)}))
-    return 0 if ratio >= 0.9 else 1
+    # gate on BOTH probes: compute scaling >= 0.9 AND sane absolute
+    # single-process bandwidth. The compute burn is cache-resident, so a
+    # hypervisor bandwidth storm (measured: the 2 GB copy probe at
+    # 26.8 s vs ~1.2 s healthy while quiet_ratio still read 0.97) is
+    # invisible to it; bw1 <= 4.0 s (~3x healthy) catches those windows
+    # before a 10-minute leg is wasted on them.
+    return 0 if (ratio >= 0.9 and bw1 <= 4.0) else 1
 
 
 if __name__ == "__main__":
