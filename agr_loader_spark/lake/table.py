@@ -57,6 +57,7 @@ from ..schema import ddl_to_type
 
 OP_COL = "__op"
 BUCKET_COL = "__bucket"
+LINEAGE_LOG = "_lineage.jsonl"
 
 
 def _resolve_lineage(lineage: dict | None) -> dict:
@@ -173,7 +174,50 @@ class LakeTable:
         return set(self._m["applied_epochs"])
 
     def lineage(self) -> list[dict]:
-        return list(self._m["lineage"])
+        """Per-commit lineage rows (source offsets -> snapshot id), in
+        commit order.
+
+        Lineage lives in an APPEND-ONLY side log (`_lineage.jsonl`),
+        not inside the snapshot manifest: a manifest that embeds its
+        full lineage history makes every commit write O(history) bytes
+        — quadratic over a replay, ruinous at 10^10 events with
+        thousands of commits (Iceberg keeps snapshot history out of
+        the table metadata's hot path the same way). Rows are appended
+        BEFORE the manifest pointer flips, so a crash between the two
+        leaves an orphan row for a never-committed snapshot; readers
+        drop rows with snapshot_id > current, and a retried commit
+        re-appends under the SAME snapshot id (epoch replay is ordered,
+        so the retried epoch gets the same parent snapshot) — last
+        occurrence wins. Rows from the manifest's legacy in-line list
+        (pre-side-log tables) are kept for compatibility."""
+        out = list(self._m["lineage"])
+        path = os.path.join(self.root, LINEAGE_LOG)
+        if os.path.exists(path):
+            cur = self.snapshot_id
+            by_sid: dict[int, dict] = {}
+            order: list[int] = []
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    d = json.loads(line)
+                    sid = d.get("snapshot_id")
+                    if sid is None or int(sid) > cur:
+                        continue  # crash orphan: appended, never committed
+                    sid = int(sid)
+                    if sid not in by_sid:
+                        order.append(sid)
+                    by_sid[sid] = d
+            out.extend(by_sid[s] for s in order)
+        return out
+
+    def _append_lineage(self, lin: dict) -> None:
+        """Append one lineage row to the side log (fsync'd so the row is
+        durable before the manifest commit that references it)."""
+        with open(os.path.join(self.root, LINEAGE_LOG), "a") as f:
+            f.write(json.dumps(lin, default=str) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     # ----------------------------------------------------------------- read
     def _bucket_expr(self, key_col):
@@ -401,7 +445,7 @@ class LakeTable:
         )
         m = self._child_manifest(new_sid, "merge", epoch_key)
         m["buckets"] = new_buckets
-        m["lineage"].append(lin)
+        self._append_lineage(lin)
         self._commit(m)
         self._m = m
         return {"skipped": False, **lin}
@@ -637,7 +681,7 @@ class LakeTable:
             new_sid, "compact" if replace_state else "merge-arrow", epoch_key
         )
         m["buckets"] = new_buckets
-        m["lineage"].append(lin)
+        self._append_lineage(lin)
         self._commit(m)
         self._m = m
         # sec_job isolates the Spark job wall from the driver turn around
@@ -725,7 +769,7 @@ class LakeTable:
         )
         m = self._child_manifest(new_sid, "merge-delta", epoch_key)
         m["buckets"] = new_buckets
-        m["lineage"].append(lin)
+        self._append_lineage(lin)
         self._commit(m)
         self._m = m
         return {"skipped": False, **lin}
@@ -867,7 +911,7 @@ class LakeTable:
         })
         m = self._child_manifest(new_sid, "delete-where", epoch_key)
         m["buckets"] = new_buckets
-        m["lineage"].append(lin)
+        self._append_lineage(lin)
         self._commit(m)
         self._m = m
         return {"skipped": False, **lin}
@@ -881,7 +925,7 @@ class LakeTable:
         lin.update({"epoch_key": epoch_key, "snapshot_id": new_sid,
                     "n_upserts": 0, "n_deletes": 0, "buckets_touched": []})
         m = self._child_manifest(new_sid, "merge-noop", epoch_key)
-        m["lineage"].append(lin)
+        self._append_lineage(lin)
         self._commit(m)
         self._m = m
         return {"skipped": False, **lin}
@@ -1113,8 +1157,9 @@ class LakeTable:
             return LakeTable(self.spark, self.root, json.load(f))
 
     def snapshot_for_epoch(self, epoch_key: str) -> int | None:
-        """Lineage lookup: the snapshot a given micro-batch committed."""
-        for lin in self._m["lineage"]:
+        """Lineage lookup: the snapshot a given micro-batch committed.
+        Reads the lineage side log (see :meth:`lineage`)."""
+        for lin in self.lineage():
             if lin.get("epoch_key") == epoch_key:
                 return int(lin["snapshot_id"])
         return None

@@ -178,7 +178,7 @@ def leg_clean(e: int, noise: dict) -> tuple[bool, list[str]]:
 
 def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
             storage: str = "disk", sink: str = "arrow",
-            log_name: str = "binlog48") -> dict:
+            log_name: str = "binlog48", tag: str = "") -> dict:
     base, local = STORAGE[storage], LOCALDIR[storage]
     log = os.path.join(base, log_name)
     table = os.path.join(base, f"v2_{e}")
@@ -222,7 +222,7 @@ def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
     seg = os.path.join(table, "_metrics.jsonl")
     if os.path.exists(seg) and out_segdir:
         os.makedirs(out_segdir, exist_ok=True)
-        shutil.copy(seg, os.path.join(out_segdir, f"rep{rep}_{e}exec.jsonl"))
+        shutil.copy(seg, os.path.join(out_segdir, f"rep{rep}{tag}_{e}exec.jsonl"))
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(local, ignore_errors=True)
     return {"executors": e, "rep": rep, "result": result, "noise": noise,
@@ -318,7 +318,7 @@ def main() -> int:
         t4 = leg4["result"]["wall_seconds"]
         if args.sandwich:
             leg4b = run_leg(4, rep, segdir, args.exec_opts, args.storage,
-                            args.sink, args.log_name)
+                            args.sink, args.log_name, tag="b")
             leg4b.update(attempt=attempt, calibration=cal,
                          exec_opts=args.exec_opts, bracket="b")
             emit(leg4b)
