@@ -9,6 +9,7 @@
 #            nearer the >=100M-event production regime; see BASELINE.md)
 # All legs, dirty legs included, land in the jsonl outputs.
 set -u
+# logs: tools/make_binlogs.sh regenerates /tmp/scalbench/binlog{48,96}
 cd /root/repo
 
 # phase A: one CLEAN calibration-gated pair on the 48M log (protocol
