@@ -53,6 +53,15 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # host-noise calibration BEFORE the run (and again after): BENCH_r03
+    # was contaminated by a 5-hour hypervisor bandwidth storm with no
+    # in-artifact record of it. quiet=false means walls are inflated and
+    # round-over-round comparison needs the calibration context.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from host_calibrate import calibrate
+    cal_before = calibrate()
+
     spark = get_spark("bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -91,21 +100,31 @@ def main() -> int:
                               key=TOKENS_MERGE_KEY, n_buckets=64)
         ReplayRunner(spark, wt, source_df=generate_binlog(
             spark, n_events=300_000, n_docs=30_000, epoch_size=150_000, seed=7)).run()
-        replay_reps, n_events = [], 0
-        for rep in range(N_REPS):  # fresh table per rep (exactly-once
-            table = LakeTable.create(  # makes a rerun a metadata no-op)
-                spark, os.path.join(work, f"tokens{rep}"),
-                TOKENS_TABLE_COLUMNS, key=TOKENS_MERGE_KEY, n_buckets=64)
-            # pipeline=True: schema-aware async fold overlap — measured
-            # ~18% faster at local[32] where driver/python-stage latency
-            # dominates the small per-segment data work (it LOSES on
-            # 1-core-executor topologies where the balanced fold already
-            # saturates cores; the scaling protocol runs it off)
-            runner = ReplayRunner(spark, table, source_path=binlog, pipeline=True)
+        def replay_rep(rep_name: str, pipeline: bool) -> tuple[float, int]:
+            table = LakeTable.create(  # fresh table per rep (exactly-once
+                spark, os.path.join(work, rep_name),  # makes a rerun a
+                TOKENS_TABLE_COLUMNS,  # metadata no-op)
+                key=TOKENS_MERGE_KEY, n_buckets=64)
+            runner = ReplayRunner(spark, table, source_path=binlog,
+                                  pipeline=pipeline)
             t0 = time.monotonic()
             metrics = runner.run()
-            replay_reps.append(round(time.monotonic() - t0, 3))
-            n_events = sum(m.get("n_events", 0) for m in metrics if not m.get("skipped"))
+            wall = round(time.monotonic() - t0, 3)
+            n = sum(m.get("n_events", 0) for m in metrics if not m.get("skipped"))
+            return wall, n
+
+        # pipeline=False is the measured default: the r3 bench shipped
+        # pipeline=True on a stale "~18% faster" measurement that the r3
+        # verdict falsified live (37.0s on vs 24.2s off, same host/log).
+        # The claim is RE-VERIFIED every run below instead of being
+        # frozen in a comment: one extra pipeline=True rep is recorded as
+        # a probe, and the output flags the default as suboptimal if the
+        # probe beats the median — never silently trusted again.
+        replay_reps, n_events = [], 0
+        for rep in range(N_REPS):
+            wall, n_events = replay_rep(f"tokens{rep}", pipeline=False)
+            replay_reps.append(wall)
+        pipeline_probe, _ = replay_rep("tokens_pipe", pipeline=True)
         reps_out["cdc_replay"] = replay_reps
         wall = statistics.median(replay_reps)
         times["cdc_replay"] = wall
@@ -113,6 +132,8 @@ def main() -> int:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    spark.stop()  # quiesce the JVM before the closing calibration sample
+    cal_after = calibrate()
     out = {
         "metric": "headline query wall + CDC replay throughput",
         "value": round(sum(times.values()), 3),
@@ -122,10 +143,12 @@ def main() -> int:
         "sf": sf,
         "replay_events": n_events,
         "replay_events_per_sec": replay_eps,
+        "replay_pipeline_probe_sec": pipeline_probe,
+        "replay_pipeline_default_suboptimal": bool(pipeline_probe < wall),
+        "calibration": {"before": cal_before, "after": cal_after},
         "cores": cores,
     }
     print(json.dumps(out))
-    spark.stop()
     return 0
 
 

@@ -32,7 +32,8 @@ def _run_n(n: int) -> float:
     return time.monotonic() - t0
 
 
-def main() -> int:
+def calibrate() -> dict:
+    """One calibration sample as a dict (importable; main() prints it)."""
     # numpy may thread BLAS; pin to 1 thread per process for a clean test
     import os
     os.environ["OPENBLAS_NUM_THREADS"] = os.environ["OMP_NUM_THREADS"] = "1"
@@ -55,17 +56,23 @@ def main() -> int:
     bw4 = _run_n(4)
     _BURN = compute_burn
     bw_ratio = bw1 / bw4 if bw4 else 0.0
-    print(json.dumps({"t1": round(one, 2), "t4": round(four, 2),
-                      "quiet_ratio": round(ratio, 3),
-                      "bw1": round(bw1, 2), "bw4": round(bw4, 2),
-                      "bw_ratio": round(bw_ratio, 3)}))
-    # gate on BOTH probes: compute scaling >= 0.9 AND sane absolute
-    # single-process bandwidth. The compute burn is cache-resident, so a
-    # hypervisor bandwidth storm (measured: the 2 GB copy probe at
-    # 26.8 s vs ~1.2 s healthy while quiet_ratio still read 0.97) is
-    # invisible to it; bw1 <= 4.0 s (~3x healthy) catches those windows
-    # before a 10-minute leg is wasted on them.
-    return 0 if (ratio >= 0.9 and bw1 <= 4.0) else 1
+    # quiet gate: compute scaling >= 0.9 AND sane absolute single-process
+    # bandwidth. The compute burn is cache-resident, so a hypervisor
+    # bandwidth storm (measured: the 2 GB copy probe at 26.8 s vs ~1.2 s
+    # healthy while quiet_ratio still read 0.97) is invisible to it;
+    # bw1 <= 4.0 s (~3x healthy) catches those windows before a
+    # 10-minute leg is wasted on them.
+    return {"t1": round(one, 2), "t4": round(four, 2),
+            "quiet_ratio": round(ratio, 3),
+            "bw1": round(bw1, 2), "bw4": round(bw4, 2),
+            "bw_ratio": round(bw_ratio, 3),
+            "quiet": bool(ratio >= 0.9 and bw1 <= 4.0)}
+
+
+def main() -> int:
+    cal = calibrate()
+    print(json.dumps(cal))
+    return 0 if cal["quiet"] else 1
 
 
 if __name__ == "__main__":
