@@ -417,12 +417,18 @@ def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode + feature extraction, values-oracled end-to-end: the
+    synthetic payloads are SQL-recomputable (audio = deterministic sine
+    burst through the REAL WAV codec; image/video = md5-chain bytes
+    through the byte-histogram stub), so DuckDB re-derives every feature
+    vector from scratch — see oracle_sql()['multimodal_features']."""
     from agr_loader_spark.operators.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, n=64)
     feats = extract_features(media, feat_dim=8)
     return feats.select(
         "media_id", "kind", "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("feat_first"),
         F.round(F.aggregate(F.transform("features", lambda x: x.cast("double")),
                             F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
     )
@@ -1311,5 +1317,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT train_id, eval_id, n_common,
                round(n_common * 1.0 / sz.n, 6) AS containment
         FROM c JOIN sz ON sz.doc_id = c.eval_id
+    """
+    # multimodal_features: re-derive every feature from scratch in SQL.
+    # Audio rows (i % 3 = 1): regenerate the sine burst exactly as
+    # synthesize_media does (0.8*sin(2*pi*f*t), trunc to int16 = the WAV
+    # payload's PCM samples), decode back to int/32768, 8 windows of 50,
+    # per-window RMS, L2-normalize, cast REAL — the full real-WAV-codec
+    # feature path. Image/video rows: regenerate the md5-chain payload
+    # bytes (byte k's low hex nibble mod 8 == byte mod 8, since 16 = 0
+    # mod 8), bucketed byte histogram, L2-normalize, cast REAL — the
+    # documented decode stub. feat_first/feat_sum match the Spark query's
+    # float32-then-double arithmetic element-for-element.
+    sql["multimodal_features"] = """
+        WITH ids AS (SELECT unnest(range(0, 64)) AS i),
+        aud AS (
+            SELECT i, list_transform(range(0, 400), s ->
+                CAST(trunc(0.8 * sin(((2 * pi())
+                        * (100.0 + CAST(i % 40 AS DOUBLE) * 55.0))
+                        * (CAST(s AS DOUBLE) / 8000.0)) * 32767.0) AS INT)
+                / 32768.0) AS x
+            FROM ids WHERE i % 3 = 1),
+        rmsw AS (
+            SELECT i, list_transform(range(0, 8), w ->
+                sqrt(list_sum(list_transform(range(0, 50), j ->
+                    x[CAST(w * 50 + j + 1 AS INT)]
+                    * x[CAST(w * 50 + j + 1 AS INT)])) / 50.0)) AS v
+            FROM aud),
+        fk AS (
+            SELECT i, printf('media:%06d', i) AS media_id,
+                   CAST(64 + (i * 37) % 1984 AS INT) AS size
+            FROM ids WHERE i % 3 <> 1),
+        hx AS (
+            SELECT i, media_id, size,
+                   list_aggregate(list_transform(
+                       range(0, CAST(ceil(size / 16.0) AS INT)),
+                       j -> md5(media_id || ':' || j)), 'string_agg', '') AS h
+            FROM fk),
+        hist AS (
+            SELECT i, media_id, size, list_transform(range(0, 8), d ->
+                CAST(len(list_filter(range(0, size), k ->
+                    (strpos('0123456789abcdef',
+                            substr(h, CAST(2 * k + 2 AS INT), 1)) - 1) % 8
+                    = d)) AS DOUBLE)) AS v
+            FROM hx),
+        allrows AS (
+            SELECT i, printf('media:%06d', i) AS media_id,
+                   844 AS n_bytes, v FROM rmsw
+            UNION ALL
+            SELECT i, media_id, size AS n_bytes, v FROM hist),
+        feat AS (
+            SELECT i, media_id, n_bytes,
+                   list_transform(v, r -> CAST(r / sqrt(
+                       list_sum(list_transform(v, q -> q * q))) AS REAL)) AS f
+            FROM allrows)
+        SELECT media_id,
+               CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+               n_bytes,
+               round(CAST(f[1] AS DOUBLE), 6) AS feat_first,
+               round(CAST(f[1] AS DOUBLE) + CAST(f[2] AS DOUBLE)
+                     + CAST(f[3] AS DOUBLE) + CAST(f[4] AS DOUBLE)
+                     + CAST(f[5] AS DOUBLE) + CAST(f[6] AS DOUBLE)
+                     + CAST(f[7] AS DOUBLE) + CAST(f[8] AS DOUBLE), 4)
+                   AS feat_sum
+        FROM feat
     """
     return sql

@@ -191,25 +191,43 @@ class LakeTable:
         occurrence wins. Rows from the manifest's legacy in-line list
         (pre-side-log tables) are kept for compatibility."""
         out = list(self._m["lineage"])
-        path = os.path.join(self.root, LINEAGE_LOG)
-        if os.path.exists(path):
-            cur = self.snapshot_id
-            by_sid: dict[int, dict] = {}
-            order: list[int] = []
-            with open(path) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    d = json.loads(line)
-                    sid = d.get("snapshot_id")
-                    if sid is None or int(sid) > cur:
-                        continue  # crash orphan: appended, never committed
-                    sid = int(sid)
-                    if sid not in by_sid:
-                        order.append(sid)
-                    by_sid[sid] = d
-            out.extend(by_sid[s] for s in order)
+        cur = self.snapshot_id
+        by_sid: dict[int, dict] = {}
+        order: list[int] = []
+        for d in self._lineage_rows():
+            sid = d.get("snapshot_id")
+            if sid is None or int(sid) > cur:
+                continue  # crash orphan: appended, never committed
+            sid = int(sid)
+            if sid not in by_sid:
+                order.append(sid)
+            by_sid[sid] = d
+        out.extend(by_sid[s] for s in order)
         return out
+
+    def _lineage_rows(self) -> list[dict]:
+        """Raw parsed side-log rows, cached per (mtime_ns, size): a caller
+        looping snapshot_for_epoch over thousands of epochs would
+        otherwise re-open and re-json-parse the whole log per lookup —
+        O(commits²) IO over a replay's worth of commits. The stat
+        signature invalidates on every append (our own or a concurrent
+        writer's)."""
+        path = os.path.join(self.root, LINEAGE_LOG)
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            return []
+        sig = (st.st_mtime_ns, st.st_size)
+        cached = getattr(self, "_lineage_cache", None)
+        if cached is not None and cached[0] == sig:
+            return cached[1]
+        rows = []
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    rows.append(json.loads(line))
+        self._lineage_cache = (sig, rows)
+        return rows
 
     def _append_lineage(self, lin: dict) -> None:
         """Append one lineage row to the side log (fsync'd so the row is
@@ -944,8 +962,13 @@ class LakeTable:
         m["schema_version"] = new_v
         m["schema_versions"][str(new_v)] = [c.to_json() for c in cols]
         if epoch_key is not None:
-            m["lineage"].append({"epoch_key": epoch_key, "snapshot_id": new_sid,
-                                 "operation": "evolve"})
+            # through the side log like every other commit path: keeps
+            # evolve commits O(1) (no manifest growth), keeps lineage()
+            # in true commit order when evolves interleave with merges,
+            # and lets last-wins supersede a crash-orphan row whose
+            # snapshot id this evolve consumes
+            self._append_lineage({"epoch_key": epoch_key, "snapshot_id": new_sid,
+                                  "operation": "evolve"})
         self._commit(m)
         self._m = m
         return {"skipped": False, "epoch_key": epoch_key, "snapshot_id": new_sid}

@@ -98,10 +98,29 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     return rate, n_ch, x
 
 
+def fake_media_payload(media_id: str, size: int) -> bytes:
+    """Deterministic opaque payload for the stubbed image/video kinds: an
+    md5 chain over (media_id, block index), truncated to ``size``. md5 is
+    the one hash available identically in python, Spark, and DuckDB, so
+    a SQL oracle can recompute these bytes exactly (same trick as the
+    lsh_topk oracle's md5-Rademacher planes)."""
+    import hashlib
+
+    out = bytearray()
+    j = 0
+    while len(out) < size:
+        out += hashlib.md5(f"{media_id}:{j}".encode()).digest()
+        j += 1
+    return bytes(out[:size])
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table. Audio rows carry REAL (tiny) WAV
     payloads — deterministic sine bursts — so the WAV decode path runs
-    end-to-end; image/video payloads stay seeded opaque bytes."""
+    end-to-end; image/video payloads are md5-chain bytes (deterministic
+    AND SQL-recomputable, so the contract oracle can verify feature
+    values end-to-end). Only the meta struct (not part of any contract
+    output) keeps the seeded rng."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
         for b in batches:
@@ -110,18 +129,19 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             for i in ids:
                 rng = np.random.default_rng([seed, int(i)])
                 kind = kinds[int(i) % 3]
+                media_id = f"media:{int(i):06d}"
                 if kind == "audio":
                     freq = 100.0 + float(int(i) % 40) * 55.0
                     t = np.arange(400) / 8000.0
                     payload = make_wav(0.8 * np.sin(2 * np.pi * freq * t))
                     mime = "audio/wav"
                 else:
-                    size = int(rng.integers(64, 2048))
-                    payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+                    size = 64 + (int(i) * 37) % 1984
+                    payload = fake_media_payload(media_id, size)
                     mime = "application/octet-stream"
                 rows.append(
                     {
-                        "media_id": f"media:{i:06d}",
+                        "media_id": media_id,
                         "kind": kind,
                         "payload": payload,
                         "meta": {

@@ -111,7 +111,9 @@ class ReplayRunner:
         10^10 events the doc_id decode is the planning pass's dominant
         cost, so fast mode roughly halves it; the jvm join-merge sink
         still needs the touched set up front and keeps the full scan."""
-        fast = self.sink in ("arrow", "delta")
+        fast = self.sink in ("arrow", "delta") and (
+            os.environ.get("SPARK_GRAFT_FAST_PLAN", "1") != "0"
+        )
         ev = self._events()
         if epochs is not None:
             ev = ev.filter(F.col("epoch").isin(epochs))
@@ -245,6 +247,17 @@ class ReplayRunner:
             return list(st["buckets"])
         return list(range(self.table.n_buckets))
 
+    def _n_touched(self, st) -> int:
+        """Fold-granularity estimate for a segment: len(_touched), but in
+        fast-plan mode capped by the segment's row count — a sparse
+        segment cannot touch more buckets than it has rows, and without
+        the cap every tiny segment would get n_buckets fold partitions
+        (mostly empty Arrow round-trips)."""
+        touched = self._touched(st)
+        if st is not None and st.get("buckets") is None and st.get("n_events"):
+            return min(len(touched), int(st["n_events"]))
+        return len(touched)
+
     @staticmethod
     def _future_cols(cols, sc) -> list:
         """Simulate a schema-change event's effect on a column-spec list
@@ -282,9 +295,8 @@ class ReplayRunner:
         from pyspark import StorageLevel
 
         st = stats.get((epoch, seg))
-        touched = self._touched(st)
         prepared = self._segment_prepared(
-            epoch, lo, hi, len(touched),
+            epoch, lo, hi, self._n_touched(st),
             int(st["n_events"]) if st is not None else None,
             columns=columns,
         )
@@ -407,7 +419,8 @@ class ReplayRunner:
             # MOR: same prepared stage-1; the fold appends delta files
             # without ever reading bucket state
             if prepared is None:
-                prepared = self._segment_prepared(epoch, lo, hi, len(touched),
+                prepared = self._segment_prepared(epoch, lo, hi,
+                                                  self._n_touched(stats),
                                                   n_events or None)
             result = self.table.merge_delta(
                 prepared, epoch_key=epoch_key, lsn_col="event_lsn",
@@ -425,7 +438,8 @@ class ReplayRunner:
                 )
                 prepared.unpersist()
             else:
-                seg_df = self._segment_prepared(epoch, lo, hi, len(touched),
+                seg_df = self._segment_prepared(epoch, lo, hi,
+                                                self._n_touched(stats),
                                                 n_events or None)
                 result = self.table.merge_arrow(
                     seg_df, epoch_key=epoch_key, lsn_col="event_lsn",

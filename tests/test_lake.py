@@ -286,3 +286,43 @@ def test_arrow_and_pandas_folds_equal(spark, tmproot, monkeypatch):
     assert states[0]["d"]["lang"] is None            # evolved col null-filled
     assert states[0]["c"]["lang"] == "en"
     assert metas[0] == metas[1]                      # upsert/delete/lineage counts
+
+
+def test_evolve_lineage_in_side_log_and_commit_order(spark, tmproot):
+    """Evolve commits route lineage through _lineage.jsonl like every
+    other commit path (r3 ADVICE): lineage() must come back in true
+    commit order when evolves interleave with merges, and the manifest's
+    legacy in-line list must stay empty (O(1) commit metadata)."""
+    import json as _json
+    import os as _os
+
+    t = _mk(spark, tmproot)
+    t.merge(_changes(spark, [("a", [1], 1, "FB", "U")]), "0:0")
+    t.add_column("lang", "string", epoch_key="0:1")
+    ch2 = spark.createDataFrame(
+        [("b", [2], 1, "FB", "en", "U")],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "lang string, __op string")
+    t.merge(ch2, "1:0")
+    keys = [lin["epoch_key"] for lin in t.lineage()]
+    assert keys == ["0:0", "0:1", "1:0"]
+    assert t.snapshot_for_epoch("0:1") == 2
+    # nothing accumulates inside the manifest itself
+    assert t._m["lineage"] == []
+    # every row lives in the side log
+    with open(_os.path.join(t.root, "_lineage.jsonl")) as f:
+        side = [_json.loads(line) for line in f if line.strip()]
+    assert [r["epoch_key"] for r in side] == ["0:0", "0:1", "1:0"]
+    assert side[1]["operation"] == "evolve"
+
+
+def test_lineage_side_log_cache_invalidation(spark, tmproot):
+    """The parsed side log is cached per (mtime, size); an append must
+    invalidate it so readers never see stale lineage."""
+    t = _mk(spark, tmproot)
+    t.merge(_changes(spark, [("a", [1], 1, "FB", "U")]), "0:0")
+    assert len(t.lineage()) == 1
+    first = t._lineage_rows()
+    assert t._lineage_rows() is first  # cache hit, same object
+    t.merge(_changes(spark, [("b", [2], 1, "FB", "U")]), "1:0")
+    assert [lin["epoch_key"] for lin in t.lineage()] == ["0:0", "1:0"]
