@@ -18,8 +18,14 @@ for spec in "48 binlog48" "96 binlog96"; do
 from agr_loader_spark.session import get_spark
 from agr_loader_spark.generator import generate_binlog
 spark = get_spark(cores=24, master="local[24]")
+# partitions=4*M: the 2026-08-18 host exposed a rare loopback-TCP
+# lost-wakeup that wedged one 1M-event/133MB generation task forever
+# (python worker in tcp_sendmsg, JVM reader in epoll_wait); 250k-event
+# tasks regenerated the same log in 3 min without a hang. Content is
+# identical either way (counter-based RNG is partition-invariant).
 generate_binlog(spark, n_events=${M}_000_000, n_docs=4_800_000,
-                epoch_size=${M}_000_000, seed=42).write.partitionBy(
+                epoch_size=${M}_000_000, seed=42,
+                partitions=4 * ${M}).write.partitionBy(
     "epoch").parquet("/tmp/scalbench/$NAME")
 spark.stop()
 EOF

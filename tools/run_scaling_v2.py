@@ -201,12 +201,33 @@ def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
     bw = BwProbe()
     bw.start()
     t0 = time.monotonic()
-    proc = subprocess.run(
+    # watchdog: the 2026-08-18 host exposed a rare loopback-TCP lost-wakeup
+    # (python worker stuck in tcp_sendmsg, JVM reader in epoll_wait, both
+    # 0% CPU forever) that wedged a generation task for 12+ minutes. A
+    # wedged leg must cost its timeout, not the whole clean window: kill
+    # the leg's process group and record it dirty with reason "watchdog".
+    timeout_s = float(os.environ.get("SCAL_LEG_TIMEOUT_S", "5400"))
+    timed_out = False
+    proc = None
+    popen = subprocess.Popen(
         [sys.executable, "-m", "agr_loader_spark", "--workdir", base,
          "--binlog", log, "--table", table, "--cores", str(e),
          "--n-buckets", "64", "--sink", sink, "--warmup"],
-        capture_output=True, text=True, cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO, env=env, start_new_session=True,
     )
+    try:
+        out, err = popen.communicate(timeout=timeout_s)
+        proc = subprocess.CompletedProcess(popen.args, popen.returncode, out, err)
+    except subprocess.TimeoutExpired:
+        timed_out = True
+        import signal
+        try:
+            os.killpg(os.getpgid(popen.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            popen.kill()
+        out, err = popen.communicate()
+        proc = subprocess.CompletedProcess(popen.args, -9, out, err)
     total_wall = round(time.monotonic() - t0, 1)
     noise = sampler.stop()
     noise.update(bw.stop())
@@ -217,8 +238,12 @@ def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
         except (ValueError, IndexError):
             pass
     if result is None:
-        sys.stderr.write(proc.stderr[-2000:] + "\n")
+        sys.stderr.write(("WATCHDOG TIMEOUT\n" if timed_out else "")
+                         + (proc.stderr or "")[-2000:] + "\n")
     clean, reasons = leg_clean(e, noise)
+    if timed_out:
+        reasons.append(f"watchdog timeout after {timeout_s}s")
+        clean = False
     seg = os.path.join(table, "_metrics.jsonl")
     if os.path.exists(seg) and out_segdir:
         os.makedirs(out_segdir, exist_ok=True)
