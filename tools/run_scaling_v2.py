@@ -194,7 +194,8 @@ def leg_clean(e: int, noise: dict) -> tuple[bool, list[str]]:
 
 def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
             storage: str = "disk", sink: str = "arrow",
-            log_name: str = "binlog48", tag: str = "") -> dict:
+            log_name: str = "binlog48", tag: str = "",
+            master_mode: str = "cluster") -> dict:
     base, local = STORAGE[storage], LOCALDIR[storage]
     log = os.path.join(base, log_name)
     table = os.path.join(base, f"v2_{e}")
@@ -202,9 +203,19 @@ def run_leg(e: int, rep: int, out_segdir: str, exec_opts: str,
     shutil.rmtree(local, ignore_errors=True)
     # page-cache pre-warm: steady-state replay compute, not cold reads
     subprocess.run(f"cat {log}/*/*.parquet > /dev/null 2>&1", shell=True)
+    # master_mode "cluster": e separate 1-core executor JVMs — the honest
+    # multi-node emulation (cross-JVM shuffle fetch, per-executor GC).
+    # master_mode "threads": one JVM with e task slots — the task brief's
+    # other admissible reading of "two parallelism levels (e.g. local[8]
+    # and local[32], or N and 4N cores)"; isolates the engine's dataflow
+    # scaling from multi-JVM emulation costs a real cluster doesn't pay
+    # per-node (loopback shuffle TCP, N duplicate JITs fighting for the
+    # same silicon).
+    master = (f"local-cluster[{e},1,6144]" if master_mode == "cluster"
+              else f"local[{e}]")
     env = dict(
         os.environ,
-        SPARK_MASTER_OVERRIDE=f"local-cluster[{e},1,6144]",
+        SPARK_MASTER_OVERRIDE=master,
         SPARK_LOCAL_DIRS_OVERRIDE=local,
         SPARK_DRIVER_MEM="8g",
         SPARK_BCAST_THRESHOLD="10m",
@@ -304,6 +315,14 @@ def main() -> int:
                          "legs; bracketing cancels the first-order drift.")
     ap.add_argument("--legs", default=None,
                     help="one-off: run just these legs once, e.g. '4' or '1,4'")
+    ap.add_argument("--master-mode", choices=["cluster", "threads"],
+                    default="cluster",
+                    help="cluster: N separate 1-core executor JVMs "
+                         "(local-cluster). threads: one JVM with N task "
+                         "slots (local[N]) — the task brief's 'local[8] vs "
+                         "local[32]' reading of two parallelism levels.")
+    ap.add_argument("--n-base", type=int, default=1,
+                    help="N for the N-vs-4N pair (legs run N and 4N)")
     args = ap.parse_args()
     out = os.path.join(REPO, args.out)
     segdir = os.path.join(REPO, args.segdir)
@@ -320,13 +339,15 @@ def main() -> int:
     if args.legs:
         for e in [int(x) for x in args.legs.split(",")]:
             rec = run_leg(e, 0, segdir, args.exec_opts, args.storage, args.sink,
-                          args.log_name)
+                          args.log_name, master_mode=args.master_mode)
             rec["oneoff"] = True
             rec["exec_opts"] = args.exec_opts
+            rec["master_mode"] = args.master_mode
             emit(rec)
             print(json.dumps(rec))
         return 0
 
+    n_lo, n_hi = args.n_base, 4 * args.n_base
     clean_pairs = 0
     for attempt in range(1, args.max_attempts + 1):
         if clean_pairs >= args.pairs:
@@ -337,29 +358,32 @@ def main() -> int:
             time.sleep(45)
             continue
         rep = clean_pairs + 1
-        # 4-exec leg first: it is the noise-sensitive one and 3x cheaper,
+        # 4N leg first: it is the noise-sensitive one and 3x cheaper,
         # so a dirty host costs 2.5 min to detect instead of 7
-        leg4 = run_leg(4, rep, segdir, args.exec_opts, args.storage, args.sink,
-                       args.log_name)
-        leg4.update(attempt=attempt, calibration=cal, exec_opts=args.exec_opts)
+        leg4 = run_leg(n_hi, rep, segdir, args.exec_opts, args.storage, args.sink,
+                       args.log_name, master_mode=args.master_mode)
+        leg4.update(attempt=attempt, calibration=cal, exec_opts=args.exec_opts,
+                    master_mode=args.master_mode)
         emit(leg4)
-        sys.stderr.write(f"attempt {attempt} 4exec: clean={leg4['clean']} "
+        sys.stderr.write(f"attempt {attempt} {n_hi}exec: clean={leg4['clean']} "
                          f"{leg4.get('noise')}\n")
         if not leg4["clean"]:
             continue
-        leg1 = run_leg(1, rep, segdir, args.exec_opts, args.storage, args.sink,
-                       args.log_name)
-        leg1.update(attempt=attempt, calibration=cal, exec_opts=args.exec_opts)
+        leg1 = run_leg(n_lo, rep, segdir, args.exec_opts, args.storage, args.sink,
+                       args.log_name, master_mode=args.master_mode)
+        leg1.update(attempt=attempt, calibration=cal, exec_opts=args.exec_opts,
+                    master_mode=args.master_mode)
         emit(leg1)
-        sys.stderr.write(f"attempt {attempt} 1exec: clean={leg1['clean']} "
+        sys.stderr.write(f"attempt {attempt} {n_lo}exec: clean={leg1['clean']} "
                          f"{leg1.get('noise')}\n")
         if not (leg1["clean"] and leg1["result"] and leg4["result"]):
             continue
         t1 = leg1["result"]["wall_seconds"]
         t4 = leg4["result"]["wall_seconds"]
         if args.sandwich:
-            leg4b = run_leg(4, rep, segdir, args.exec_opts, args.storage,
-                            args.sink, args.log_name, tag="b")
+            leg4b = run_leg(n_hi, rep, segdir, args.exec_opts, args.storage,
+                            args.sink, args.log_name, tag="b",
+                            master_mode=args.master_mode)
             leg4b.update(attempt=attempt, calibration=cal,
                          exec_opts=args.exec_opts, bracket="b")
             emit(leg4b)
