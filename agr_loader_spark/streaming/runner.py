@@ -304,17 +304,31 @@ class ReplayRunner:
         prepared.count()  # materialize scan + shuffle
         return prepared
 
-    def run(self, epochs: list[int] | None = None, stop_after: int | None = None) -> list[dict]:
+    def plan(self, epochs: list[int] | None = None):
+        """Precompute the replay plan (segment offsets/stats + schema
+        events) without applying anything. The returned opaque object can
+        be passed to :meth:`run` to skip its planning pass — for stepped
+        replay (``stop_after=1`` in a loop) over a STATIC log, where
+        re-planning every step would re-scan the log O(steps) times.
+        A live tail must NOT reuse a plan: new epochs would be missed."""
+        return self._plan(epochs)
+
+    def run(self, epochs: list[int] | None = None, stop_after: int | None = None,
+            plan=None) -> list[dict]:
         """Replay epochs in order; skip already-committed segments.
         ``stop_after`` = crash-injection point for resume tests (number of
-        segment commits to perform before stopping)."""
+        segment commits to perform before stopping). ``plan`` = a
+        precomputed :meth:`plan` result (static-log stepping only)."""
         import concurrent.futures as cf
 
-        _tp = time.monotonic()
-        all_epochs, bounds_by_epoch, stats = self._plan(epochs)
-        # metrics-only record (not a segment): how much of the leg the
-        # one-time planning pass costs — read by the scaling decomposition
-        self._emit({"operation": "plan", "seconds": round(time.monotonic() - _tp, 4)})
+        if plan is not None:
+            all_epochs, bounds_by_epoch, stats = plan
+        else:
+            _tp = time.monotonic()
+            all_epochs, bounds_by_epoch, stats = self._plan(epochs)
+            # metrics-only record (not a segment): how much of the leg the
+            # one-time planning pass costs — read by the scaling decomposition
+            self._emit({"operation": "plan", "seconds": round(time.monotonic() - _tp, 4)})
         ops = self._op_list(all_epochs, bounds_by_epoch)
         all_metrics: list[dict] = []
         committed = 0

@@ -115,6 +115,31 @@ def test_resume_from_checkpoint_mid_stream(spark, tmproot, binlog, oracle_df):
     assert LakeTable.load(spark, table.root).snapshot_id == snap
 
 
+def test_stepped_replay_with_precomputed_plan(spark, tmproot, binlog, oracle_df):
+    """The scaling-v3 worker shape: plan once on a static log, then step
+    through it one commit at a time with run(stop_after=1, plan=plan).
+    Must converge to the same final state as a single run() and stop
+    committing once the log is exhausted."""
+    table = _fresh_table(spark, tmproot)
+    runner = ReplayRunner(spark, table, source_path=binlog)
+    planobj = runner.plan()
+    steps = 0
+    while True:
+        before = table.snapshot_id
+        runner.run(stop_after=1, plan=planobj)
+        if table.snapshot_id == before:
+            break
+        steps += 1
+        assert steps < 64
+    # one commit per data segment + schema events, at least epochs count
+    assert steps >= N_EVENTS // EPOCH
+    _assert_state_equals_oracle(table, oracle_df)
+    # a further stepped call with the same plan is a pure no-op
+    snap = table.snapshot_id
+    m = runner.run(plan=planobj)
+    assert all(x.get("skipped") for x in m) and table.snapshot_id == snap
+
+
 def test_invariants(spark, tmproot, binlog):
     table = _fresh_table(spark, tmproot)
     ReplayRunner(spark, table, source_path=binlog).run()
