@@ -41,9 +41,13 @@ def main(argv: list[str] | None = None) -> int:
                         "(default), pure-JVM join merge, or write-optimized "
                         "merge-on-read delta sink (state never read during "
                         "ingest; compacted after the last segment)")
-    p.add_argument("--pipeline", action="store_true",
+    p.add_argument("--pipeline", nargs="?", const="on", default="off",
+                   choices=["off", "on", "auto"],
                    help="async fold overlap: prefetch the next segment's "
-                        "scan+shuffle (schema-aware) under the current fold")
+                        "scan+shuffle (schema-aware) under the current fold. "
+                        "Bare --pipeline == on; auto probes both regimes on "
+                        "the first four data segments and locks the faster "
+                        "(emitted as a pipeline_policy metrics record)")
     p.add_argument("--warmup", action="store_true",
                    help="run a small throwaway replay first so the timed run "
                         "measures steady-state (JIT/codegen warmed), as a "
@@ -56,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
     from .streaming.runner import ReplayRunner
 
+    pipeline_mode = {"off": False, "on": True, "auto": "auto"}[args.pipeline]
     spark = get_spark("agr-loader-spark-replay", cores=args.cores)
     binlog = args.binlog or os.path.join(args.workdir, "binlog")
     table_root = args.table or os.path.join(args.workdir, "tokens_table")
@@ -78,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         wlog = generate_binlog(spark, n_events=400_000, n_docs=50_000,
                                epoch_size=200_000, seed=7)
         ReplayRunner(spark, wt, source_df=wlog, sink=args.sink,
-                     pipeline=args.pipeline).run()
+                     pipeline=pipeline_mode).run()
         shutil.rmtree(wdir, ignore_errors=True)
 
     table = LakeTable.create(
@@ -87,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     runner = ReplayRunner(spark, table, source_path=binlog,
                           salt_buckets=args.salt_buckets, sink=args.sink,
-                          pipeline=args.pipeline)
+                          pipeline=pipeline_mode)
     t0 = time.monotonic()
     metrics = runner.run(stop_after=args.stop_after)
     wall = time.monotonic() - t0

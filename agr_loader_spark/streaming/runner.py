@@ -54,7 +54,7 @@ class ReplayRunner:
         use_pandas_lww: bool = False,
         use_salted_lww: bool = False,
         sink: str = "arrow",  # "arrow" (2-stage state-colocated COW) | "jvm" | "delta" (write-optimized MOR)
-        pipeline: bool = False,  # async fold overlap: prefetch the next segment's scan+shuffle (schema-aware) under the current fold
+        pipeline: bool | str = False,  # async fold overlap: prefetch the next segment's scan+shuffle (schema-aware) under the current fold. True/False, or "auto": measure both regimes on the first four data segments of THIS run and lock in the faster (the overlap win flips sign across hosts/topologies — r3 measured it +53% wall, the r4 host measured it faster; a frozen flag is wrong somewhere, so decide from live per-event rates instead)
         compact_at_end: bool = True,  # delta sink only: collapse MOR deltas to base files after the last segment (inside run(), so measured walls are apples-to-apples with the COW sink)
     ):
         if (source_path is None) == (source_df is None):
@@ -69,6 +69,8 @@ class ReplayRunner:
         if sink not in ("arrow", "jvm", "delta"):
             raise ValueError(f"unknown sink {sink!r}")
         self.sink = sink
+        if pipeline not in (True, False, "auto"):
+            raise ValueError(f"pipeline must be True/False/'auto', got {pipeline!r}")
         self.pipeline = pipeline
         self.compact_at_end = compact_at_end
 
@@ -336,9 +338,25 @@ class ReplayRunner:
         pool = cf.ThreadPoolExecutor(max_workers=1) if (
             self.pipeline and self.sink in ("arrow", "delta")
         ) else None
+        # pipeline="auto": segments 0-1 apply synchronously, segments 2-3
+        # run one full overlap cycle (segment 2 pays the concurrent
+        # prefetch, segment 3 consumes it), then the per-event rates of
+        # the two regimes pick the mode for the rest of the replay. At
+        # production commit intervals (>=100M events/segment) the probe
+        # is a vanishing prefix; on short logs the decision barely
+        # matters. overlap_on: None = still probing.
+        auto = self.pipeline == "auto"
+        overlap_on: bool | None = None if auto else bool(self.pipeline)
+        probe = {"sync": [0.0, 0], "overlap": [0.0, 0]}
+        applied_data = 0
         try:
             for i, op in enumerate(ops):
-                if pool is not None and op[0] == "data":
+                prefetch_now = pool is not None and op[0] == "data" and (
+                    overlap_on is True
+                    or (overlap_on is None and applied_data == 2
+                        and f"{op[1]}:{op[2]}" not in self.table.applied_epochs())
+                )
+                if prefetch_now:
                     # prefetch the NEXT data segment, planning it under
                     # the schema the table will have once any schema
                     # events in between commit (simulated metadata-only)
@@ -373,13 +391,33 @@ class ReplayRunner:
                         if have != want:
                             prepared.unpersist()
                             prepared = None
+                    _ta = time.monotonic()
                     m = self._apply_data_segment(
                         epoch, seg, lo, hi, stats.get((epoch, seg)), prepared
                     )
+                    _ta = time.monotonic() - _ta
                 else:
                     _, epoch, seg, row = op
                     m = self._apply_schema_event(epoch, seg, row)
+                    _ta = None
                 all_metrics.append(m)
+                if auto and _ta is not None and not m.get("skipped"):
+                    if overlap_on is None:
+                        b = probe["sync" if applied_data < 2 else "overlap"]
+                        b[0] += _ta
+                        b[1] += int(m.get("n_events") or 0)
+                    applied_data += 1
+                    if overlap_on is None and applied_data >= 4:
+                        (ts, es), (to, eo) = probe["sync"], probe["overlap"]
+                        rate_s = es / ts if ts > 0 else 0.0
+                        rate_o = eo / to if to > 0 else 0.0
+                        overlap_on = rate_o > rate_s
+                        pol = {"operation": "pipeline_policy",
+                               "overlap_on": overlap_on,
+                               "rate_sync_eps": round(rate_s, 1),
+                               "rate_overlap_eps": round(rate_o, 1)}
+                        self._emit(pol)
+                        all_metrics.append(pol)
                 if not m.get("skipped"):
                     committed += 1
                 if stop_after is not None and committed >= stop_after:

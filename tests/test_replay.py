@@ -62,15 +62,24 @@ def _assert_state_equals_oracle(table, oracle_df):
         ], col
 
 
-@pytest.mark.parametrize("sink,pipeline", [("arrow", False), ("arrow", True), ("jvm", False)])
+@pytest.mark.parametrize("sink,pipeline", [("arrow", False), ("arrow", True),
+                                           ("arrow", "auto"), ("jvm", False)])
 def test_replay_matches_oracle(spark, tmproot, binlog, oracle_df, sink, pipeline):
     """pipeline=True exercises the schema-aware async prefetch: every
     prepared segment is planned under a SIMULATED future schema and must
-    still produce the byte-identical final state."""
+    still produce the byte-identical final state. pipeline="auto" probes
+    both regimes on the first four data segments, locks the faster, and
+    must emit exactly one pipeline_policy record with the measured rates."""
     table = _fresh_table(spark, tmproot)
     runner = ReplayRunner(spark, table, source_path=binlog, sink=sink, pipeline=pipeline)
     metrics = runner.run()
     _assert_state_equals_oracle(table, oracle_df)
+    pol = [m for m in metrics if m.get("operation") == "pipeline_policy"]
+    if pipeline == "auto":
+        assert len(pol) == 1 and isinstance(pol[0]["overlap_on"], bool)
+        assert pol[0]["rate_sync_eps"] > 0 and pol[0]["rate_overlap_eps"] > 0
+    else:
+        assert not pol
     # schema evolution happened mid-stream
     assert [c.name for c in table.columns()] == ["doc_id", "tokens", "n_tok", "origin", "lang"]
     assert dict(table.read().dtypes)["n_tok"] == "bigint"

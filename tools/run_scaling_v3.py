@@ -60,6 +60,7 @@ from run_scaling_v2 import (  # noqa: E402
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # worker subprocesses run this file by path
 
 
 # ---------------------------------------------------------------- sampling
