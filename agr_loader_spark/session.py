@@ -8,6 +8,7 @@ BENCH/BASELINE.md for the N vs 4N scaling protocol).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -149,6 +150,12 @@ def get_spark(
     local_dir = os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # diagnostics hook: JSON dict of extra spark confs (e.g. event log)
+    # applied last; never set by any default path
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if extra:
+        for k, v in json.loads(extra).items():
+            builder = builder.config(k, str(v))
     # local-cluster executors spawn their own Python workers; make this
     # package importable there (spark-submit --py-files does this on a
     # real cluster)
