@@ -44,6 +44,49 @@ def q_cdc_lww_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_precombine_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same final-state semantics as cdc_lww_snapshot, materialized
+    END-TO-END through the COW arrow sink with the map-side LWW combine
+    on (ReplayRunner(precombine=True) -> operators/dedup.py:
+    precombine_lww -> bucket fold with exact carried counters): the
+    changeset is collapsed to one winner row per key BEFORE the bucket
+    shuffle. Oracle = the identical LWW SQL — proving combine + fold
+    composes to the same snapshot."""
+    import tempfile
+
+    from agr_loader_spark.lake.table import LakeTable
+    from agr_loader_spark.schema import SCHEMA_CHANGE_TYPE
+    from agr_loader_spark.streaming.runner import ReplayRunner
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("event_id").alias("event_lsn"),
+        F.lit(0).alias("epoch"),
+        F.lit(None).cast(SCHEMA_CHANGE_TYPE).alias("schema_change"),
+    )
+    root = tempfile.mkdtemp(prefix="precombine_snapshot_")
+    t = LakeTable.create(
+        spark, root + "/t",
+        [("user_id", "bigint", "user_id"), ("event_id", "bigint", "event_id"),
+         ("event_type", "string", "event_type"), ("value", "double", "value")],
+        key="user_id", n_buckets=16,
+    )
+    ReplayRunner(spark, t, source_df=ev, sink="arrow", precombine=True).run()
+    ts = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return (
+        t.read()
+        .join(ts, "event_id")  # event_id is globally unique in this table
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
 def q_cdc_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same final-state semantics as cdc_lww_snapshot, but materialized
     END-TO-END through the write-optimized merge-on-read sink
@@ -696,6 +739,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
+        "cdc_precombine_snapshot": q_cdc_precombine_snapshot,
         "cdc_mor_snapshot": q_cdc_mor_snapshot,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -755,6 +799,9 @@ def oracle_sql() -> dict[str, str]:
     # identical oracle to cdc_lww_snapshot: the MOR path (delta ingest +
     # read-time resolution + compaction) must produce the same snapshot
     sql["cdc_mor_snapshot"] = sql["cdc_lww_snapshot"]
+    # identical oracle again: map-side combine + COW fold must compose
+    # to the same snapshot as the plain LWW fold
+    sql["cdc_precombine_snapshot"] = sql["cdc_lww_snapshot"]
     sql["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

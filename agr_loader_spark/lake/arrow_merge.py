@@ -119,28 +119,43 @@ def make_bucket_fold(
     lsn_col: str,
     bucket_col: str,
     update_only: bool = False,
+    precombined: bool = False,
 ):
     """Build the applyInPandas function for one micro-batch merge.
 
     Everything captured here is tiny metadata (column specs + file
     lists); the heavy inputs (batch rows, state files) stay distributed.
+
+    ``precombined``: the changeset already went through
+    operators.dedup.precombine_lww — one winner row per key carrying
+    exact dedup counters (PRECOMBINE_COLS). The fold then skips its own
+    (key, lsn) dedup and reads the counters instead; LWW vs state and
+    delete routing are unchanged.
     """
     names = [c.name for c in current]
     out_pa_schema = arrow_schema(current)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf[bucket_col].iloc[0])
-        # per-partition lineage: the source-offset range this bucket
-        # absorbed in this micro-batch (north rule: offset -> snapshot)
-        b_min_lsn = int(pdf[lsn_col].min())
-        b_max_lsn = int(pdf[lsn_col].max())
-        # exact re-delivery dedup: co-location guarantees all copies of a
-        # (key, lsn) pair are in this group. The dropped count is exact
-        # and free here — it replaces the planning pass's doc_id-decoding
-        # approx_count_distinct (see ReplayRunner._plan fast mode).
-        n_before = len(pdf)
-        pdf = pdf.drop_duplicates(subset=[key, lsn_col])
-        n_dups = n_before - len(pdf)
+        if precombined:
+            # counters were measured exactly by the combine's collect_set
+            # union across map tasks (operators/dedup.py:precombine_lww)
+            b_min_lsn = int(pdf["__min_lsn"].min())
+            b_max_lsn = int(pdf[lsn_col].max())
+            n_batch_u = int(pdf["__n_u"].sum())
+            n_dups = int((pdf["__n_rows"] - pdf["__n_u"] - pdf["__n_d"]).sum())
+        else:
+            # per-partition lineage: the source-offset range this bucket
+            # absorbed in this micro-batch (north rule: offset -> snapshot)
+            b_min_lsn = int(pdf[lsn_col].min())
+            b_max_lsn = int(pdf[lsn_col].max())
+            # exact re-delivery dedup: co-location guarantees all copies of a
+            # (key, lsn) pair are in this group. The dropped count is exact
+            # and free here — it replaces the planning pass's doc_id-decoding
+            # approx_count_distinct (see ReplayRunner._plan fast mode).
+            n_before = len(pdf)
+            pdf = pdf.drop_duplicates(subset=[key, lsn_col])
+            n_dups = n_before - len(pdf)
 
         state = read_bucket_state(bucket_files.get(bucket, []), schema_versions,
                                   current, root)
@@ -183,9 +198,13 @@ def make_bucket_fold(
                 "bucket": pd.array([bucket], dtype="int32"),
                 "path": [rel_path],
                 "n_rows": pd.array([len(win)], dtype="int64"),
-                "n_upserts": pd.array([int((pdf[op_col] == "U").sum()
-                                            - (len(state) if state is not None else 0))],
-                                      dtype="int64"),
+                # deduped batch events with op U: the combine counted them
+                # exactly; otherwise count post-dedup rows minus state
+                "n_upserts": pd.array(
+                    [n_batch_u if precombined
+                     else int((pdf[op_col] == "U").sum()
+                              - (len(state) if state is not None else 0))],
+                    dtype="int64"),
                 "n_deletes": pd.array([n_deletes_applied], dtype="int64"),
                 "min_lsn": pd.array([b_min_lsn], dtype="int64"),
                 "max_lsn": pd.array([b_max_lsn], dtype="int64"),
@@ -207,6 +226,7 @@ def make_bucket_fold_arrow(
     lsn_col: str,
     bucket_col: str,
     update_only: bool = False,
+    precombined: bool = False,
 ):
     """Arrow-END-TO-END variant of :func:`make_bucket_fold` for Spark's
     ``applyInArrow`` (pyspark >= 4.0): the batch arrives as a
@@ -244,8 +264,17 @@ def make_bucket_fold_arrow(
     def fold(t: pa.Table) -> pa.Table:
         bucket = t.column(bucket_col)[0].as_py()
         lsn_raw = t.column(lsn_col).cast(pa.int64())
-        b_min_lsn = pc.min(lsn_raw).as_py()
-        b_max_lsn = pc.max(lsn_raw).as_py()
+        if precombined:
+            b_min_lsn = pc.min(t.column("__min_lsn")).as_py()
+            b_max_lsn = pc.max(lsn_raw).as_py()
+            pre_n_u = int(pc.sum(t.column("__n_u")).as_py() or 0)
+            pre_n_dups = int(
+                (pc.sum(t.column("__n_rows")).as_py() or 0)
+                - pre_n_u - (pc.sum(t.column("__n_d")).as_py() or 0)
+            )
+        else:
+            b_min_lsn = pc.min(lsn_raw).as_py()
+            b_max_lsn = pc.max(lsn_raw).as_py()
         batch = pa.Table.from_arrays(
             [t.column(c.name).cast(arrow_type(c.type)) for c in current]
             + [t.column(op_col).cast(pa.string()), lsn_raw],
@@ -278,15 +307,17 @@ def make_bucket_fold_arrow(
         )
         srt = combined.take(idx)
         k = srt.column(key).combine_chunks()
-        if n > 1:
+        if n > 1 and not precombined:
             pair_mask = _first_mask(k, n) | _first_mask(
                 srt.column(lsn_col).combine_chunks(), n)
             dedup = srt.filter(pa.array(pair_mask))
         else:
+            # precombined: one batch row per key by construction — the
+            # combine already collapsed (key, lsn) re-deliveries upstream
             dedup = srt
         # exact re-delivery count: state rows (unique keys, lsn=-1) never
         # collide, so every dropped row is a duplicated (key, lsn) event
-        n_dups = n - len(dedup)
+        n_dups = pre_n_dups if precombined else n - len(dedup)
         n2 = len(dedup)
         k2 = dedup.column(key).combine_chunks()
         winners = dedup.filter(pa.array(_first_mask(k2, n2))) if n2 > 1 else dedup
@@ -299,7 +330,7 @@ def make_bucket_fold_arrow(
                 win = win.filter(pc.is_in(win.column(key), value_set=state_keys))
             else:
                 win = win.slice(0, 0)
-        n_upserts = int(
+        n_upserts = pre_n_u if precombined else int(
             (pc.sum(pc.equal(dedup.column(op_col), "U")).as_py() or 0) - n_state
         )
 

@@ -575,6 +575,7 @@ class LakeTable:
         prepared: bool = False,
         mode: str = "lww",  # "lww" | "update_only"
         replace_state: bool = False,
+        precombined: bool = False,
     ) -> dict:
         """Two-stage Arrow-native merge (see lake/arrow_merge.py).
 
@@ -586,6 +587,10 @@ class LakeTable:
         ``replace_state=True`` ignores the buckets' existing files and
         rewrites each touched bucket purely from ``changes`` — the
         compaction path, where ``changes`` IS the resolved state.
+        ``precombined=True``: ``changes`` went through
+        operators.dedup.precombine_lww (one winner row per key + exact
+        counter columns) — requires ``prepared=True``; the fold reads
+        the counters instead of re-deduping.
         """
         from .arrow_merge import (
             MANIFEST_SCHEMA,
@@ -595,6 +600,9 @@ class LakeTable:
 
         if mode not in ("lww", "update_only"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        if precombined and not prepared:
+            raise ValueError("precombined changesets must arrive prepared "
+                             "(combine + repartition happen upstream)")
         if epoch_key in self.applied_epochs():
             return {"skipped": True, "epoch_key": epoch_key, "snapshot_id": self.snapshot_id}
 
@@ -645,6 +653,7 @@ class LakeTable:
             lsn_col=lsn_col,
             bucket_col=BUCKET_COL,
             update_only=(mode == "update_only"),
+            precombined=precombined,
         )
         # the prepared partitioning satisfies the groupBy's clustered
         # distribution (hash(bucket) directly, or hash(__pk) leading the

@@ -135,3 +135,65 @@ def lww_reduce_pandas(
 def dedup_exact(df: DataFrame, cols: Iterable[str] | None = None) -> DataFrame:
     """Plain distinct-by-columns (SURVEY.md A2, dropDuplicates)."""
     return df.dropDuplicates(list(cols) if cols else None)
+
+
+#: counter columns emitted by :func:`precombine_lww`, consumed by the
+#: bucket folds (lake/arrow_merge.py) when the changeset is precombined
+PRECOMBINE_COLS = ("__n_rows", "__n_u", "__n_d", "__min_lsn")
+
+
+def precombine_lww(
+    df: DataFrame,
+    key: str = "doc_id",
+    op_col: str = "__op",
+    lsn_col: str = "event_lsn",
+) -> DataFrame:
+    """Map-side LWW combine: collapse a changeset to one winner row per
+    key BEFORE the bucket shuffle, carrying exact dedup counters.
+
+    Why: on an update-heavy (zipf-skewed) change feed most shuffled bytes
+    are LWW losers — payloads that the bucket fold will immediately
+    discard. A ``groupBy(key)`` aggregation plans as partial (map-side)
+    + final, so duplicates of a key collapse inside each map task before
+    their token arrays ever hit the shuffle; hot keys (the bulk of event
+    volume under zipf) collapse almost entirely. This is the classic
+    combiner, and it disproportionately helps multi-executor topologies
+    where shuffle bytes cross JVMs/network. The cost is one extra narrow
+    exchange (winners only) between the combine and the bucket fold.
+
+    Exactness of the fold's lineage counters is preserved without
+    shipping loser payloads:
+
+    - ``__n_rows``  = count of raw events for the key (dup copies incl.)
+    - ``__n_u``/``__n_d`` = EXACT distinct-lsn counts per op
+      (``collect_set`` unions partial sets across map tasks, so a
+      re-delivered (key, lsn) pair split across map partitions still
+      counts once; only the set SIZES survive the projection)
+    - ``__min_lsn`` + the winner's ``lsn_col`` bound the offset range
+
+    so ``n_duplicates_dropped = sum(__n_rows - __n_u - __n_d)`` is the
+    same exact re-delivery count the un-combined fold measures, and
+    ``n_upserts = sum(__n_u)`` matches its deduped-U-event count.
+
+    Output: one row per key with the max-lsn winner's payload columns
+    (incl. ``op_col``/``lsn_col``) plus the counters above. Ties on
+    (key, lsn) are re-deliveries (a binlog lsn names one event), so the
+    winner payload is unambiguous. LWW semantics vs table state are
+    unchanged: every batch winner has lsn >= 0 > -1 (state).
+    """
+    payload = [c for c in df.columns if c not in (key, op_col, lsn_col)]
+    agg = df.groupBy(key).agg(
+        F.max_by(F.struct(*payload, F.col(op_col)), F.col(lsn_col)).alias("__w"),
+        F.max(lsn_col).alias(lsn_col),
+        F.min(lsn_col).alias("__min_lsn"),
+        F.count(F.lit(1)).alias("__n_rows"),
+        F.size(
+            F.collect_set(F.when(F.col(op_col) == "U", F.col(lsn_col)))
+        ).alias("__n_u"),
+        F.size(
+            F.collect_set(F.when(F.col(op_col) == "D", F.col(lsn_col)))
+        ).alias("__n_d"),
+    )
+    return agg.select(
+        key, "__w.*", F.col(lsn_col), "__min_lsn", "__n_rows", "__n_u", "__n_d"
+    )

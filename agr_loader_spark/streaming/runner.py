@@ -54,6 +54,7 @@ class ReplayRunner:
         use_pandas_lww: bool = False,
         use_salted_lww: bool = False,
         sink: str = "arrow",  # "arrow" (2-stage state-colocated COW) | "jvm" | "delta" (write-optimized MOR)
+        precombine: bool | None = None,  # arrow sink only: map-side LWW combine (operators/dedup.py:precombine_lww) collapses each segment to one winner row per key BEFORE the bucket shuffle — cuts shuffled/folded payload bytes by the feed's update multiplicity (zipf: most event volume is LWW losers) at the price of one extra winners-only exchange; counters stay exact. None (default) = on for the arrow sink: measured faster at every topology tried (local[32] ~1.3x, 1-exec cluster 1.7x, 4-exec cluster 2-3x on the table-build segment — BENCH/BASELINE.md round-4 precombine section), and bench.py re-verifies the claim every run with an uncombined probe rep rather than freezing it here.
         pipeline: bool | str = False,  # async fold overlap: prefetch the next segment's scan+shuffle (schema-aware) under the current fold. True/False, or "auto": measure both regimes on the first four data segments of THIS run and lock in the faster (the overlap win flips sign across hosts/topologies — r3 measured it +53% wall, the r4 host measured it faster; a frozen flag is wrong somewhere, so decide from live per-event rates instead)
         compact_at_end: bool = True,  # delta sink only: collapse MOR deltas to base files after the last segment (inside run(), so measured walls are apples-to-apples with the COW sink)
     ):
@@ -72,6 +73,11 @@ class ReplayRunner:
         if pipeline not in (True, False, "auto"):
             raise ValueError(f"pipeline must be True/False/'auto', got {pipeline!r}")
         self.pipeline = pipeline
+        if precombine is None:
+            precombine = sink == "arrow"
+        if precombine and sink != "arrow":
+            raise ValueError("precombine is only supported on the arrow sink")
+        self.precombine = precombine
         self.compact_at_end = compact_at_end
 
     # ------------------------------------------------------------------ source
@@ -236,6 +242,11 @@ class ReplayRunner:
         if hi is not None:
             cond = cond & (F.col("event_lsn") < hi)
         seg = base.filter(cond).drop("epoch")
+        if self.precombine:
+            from ..operators.dedup import precombine_lww
+
+            seg = precombine_lww(seg, key=self.table.key, op_col=OP_COL,
+                                 lsn_col="event_lsn")
         return self.table.balanced_fold_repartition(seg, n_touched, n_rows)
 
     def _touched(self, st) -> list[int]:
@@ -387,7 +398,9 @@ class ReplayRunner:
                         want = [c.name for c in self.table.columns()]
                         have = [c for c in prepared.columns
                                 if c not in (OP_COL, "event_lsn", "__pk")
-                                and not c.startswith("__bucket")]
+                                and not c.startswith("__bucket")
+                                and c not in ("__n_rows", "__n_u", "__n_d",
+                                              "__min_lsn")]
                         if have != want:
                             prepared.unpersist()
                             prepared = None
@@ -487,6 +500,7 @@ class ReplayRunner:
                 result = self.table.merge_arrow(
                     prepared, epoch_key=epoch_key, lsn_col="event_lsn",
                     lineage=lineage, touched_buckets=touched, prepared=True,
+                    precombined=self.precombine,
                 )
                 prepared.unpersist()
             else:
@@ -496,6 +510,7 @@ class ReplayRunner:
                 result = self.table.merge_arrow(
                     seg_df, epoch_key=epoch_key, lsn_col="event_lsn",
                     lineage=lineage, touched_buckets=touched, prepared=True,
+                    precombined=self.precombine,
                 )
         else:
             events = self._segment_events(epoch, lo, hi)

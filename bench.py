@@ -100,13 +100,14 @@ def main() -> int:
                               key=TOKENS_MERGE_KEY, n_buckets=64)
         ReplayRunner(spark, wt, source_df=generate_binlog(
             spark, n_events=300_000, n_docs=30_000, epoch_size=150_000, seed=7)).run()
-        def replay_rep(rep_name: str, pipeline: bool) -> tuple[float, int]:
+        def replay_rep(rep_name: str, pipeline: bool,
+                       precombine: bool | None = None) -> tuple[float, int]:
             table = LakeTable.create(  # fresh table per rep (exactly-once
                 spark, os.path.join(work, rep_name),  # makes a rerun a
                 TOKENS_TABLE_COLUMNS,  # metadata no-op)
                 key=TOKENS_MERGE_KEY, n_buckets=64)
             runner = ReplayRunner(spark, table, source_path=binlog,
-                                  pipeline=pipeline)
+                                  pipeline=pipeline, precombine=precombine)
             t0 = time.monotonic()
             metrics = runner.run()
             wall = round(time.monotonic() - t0, 3)
@@ -120,11 +121,16 @@ def main() -> int:
         # frozen in a comment: one extra pipeline=True rep is recorded as
         # a probe, and the output flags the default as suboptimal if the
         # probe beats the median — never silently trusted again.
+        # the same re-verify pattern covers the r4 precombine default
+        # (map-side LWW combine, on by default for the arrow sink): one
+        # uncombined probe rep per run, flagged below if it wins.
         replay_reps, n_events = [], 0
         for rep in range(N_REPS):
             wall, n_events = replay_rep(f"tokens{rep}", pipeline=False)
             replay_reps.append(wall)
         pipeline_probe, _ = replay_rep("tokens_pipe", pipeline=True)
+        precombine_probe, _ = replay_rep("tokens_nopc", pipeline=False,
+                                         precombine=False)
         reps_out["cdc_replay"] = replay_reps
         wall = statistics.median(replay_reps)
         times["cdc_replay"] = wall
@@ -145,6 +151,8 @@ def main() -> int:
         "replay_events_per_sec": replay_eps,
         "replay_pipeline_probe_sec": pipeline_probe,
         "replay_pipeline_default_suboptimal": bool(pipeline_probe < wall),
+        "replay_nopc_probe_sec": precombine_probe,
+        "replay_precombine_default_suboptimal": bool(precombine_probe < wall),
         "calibration": {"before": cal_before, "after": cal_after},
         "cores": cores,
     }

@@ -165,6 +165,75 @@ def test_invariants(spark, tmproot, binlog):
     assert len(keys) == len(set(keys))
 
 
+def test_precombine_replay_equivalent(spark, tmproot, binlog, oracle_df):
+    """precombine=True (map-side LWW combine before the bucket shuffle,
+    operators/dedup.py:precombine_lww) must produce the byte-identical
+    final state AND identical lineage counters — n_upserts / n_deletes /
+    exact n_duplicates_dropped / offset ranges / per-bucket offsets —
+    as the uncombined fold, on a log containing re-deliveries, deletes,
+    and mid-stream schema evolution."""
+    t_pre = LakeTable.create(spark, tmproot + "/pre", TOKENS_TABLE_COLUMNS,
+                             key=TOKENS_MERGE_KEY, n_buckets=16)
+    ReplayRunner(spark, t_pre, source_path=binlog, precombine=True).run()
+    _assert_state_equals_oracle(t_pre, oracle_df)
+
+    t_ref = LakeTable.create(spark, tmproot + "/ref", TOKENS_TABLE_COLUMNS,
+                             key=TOKENS_MERGE_KEY, n_buckets=16)
+    ReplayRunner(spark, t_ref, source_path=binlog, precombine=False).run()
+    lp = {l["epoch_key"]: l for l in t_pre.lineage() if "n_upserts" in l}
+    lr = {l["epoch_key"]: l for l in t_ref.lineage() if "n_upserts" in l}
+    assert lp.keys() == lr.keys()
+    checked_dups = 0
+    for k in lp:
+        for f in ("n_upserts", "n_deletes", "n_duplicates_dropped",
+                  "min_lsn", "max_lsn", "n_events", "buckets_touched",
+                  "per_bucket_offsets"):
+            assert lp[k][f] == lr[k][f], (k, f, lp[k][f], lr[k][f])
+        checked_dups += lp[k]["n_duplicates_dropped"]
+    assert checked_dups > 0  # the log really contains re-deliveries
+
+
+def test_precombine_exact_dups_across_partitions(spark, tmproot):
+    """A re-delivered (key, lsn) pair split across DIFFERENT map
+    partitions, with a later event for the same key sharing a partition
+    with one copy: the combine's collect_set union must still count the
+    duplicate exactly once-dropped (a naive per-partition combine would
+    silently fold the loser copy and undercount)."""
+    rows = [
+        # partition 0: dup copy of (d1, 5) + the key's winner (lsn 9)
+        ("d1", [1, 2], 2, "s", "U", 5, 0),
+        ("d1", [9, 9], 2, "s", "U", 9, 0),
+        # partition 1: the other dup copy of (d1, 5)
+        ("d1", [1, 2], 2, "s", "U", 5, 1),
+        # control key, no dups
+        ("d2", [7], 1, "s", "U", 6, 1),
+    ]
+    from agr_loader_spark.schema import SCHEMA_CHANGE_TYPE
+
+    df = (
+        spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "op string, event_lsn long, part int",
+        )
+        .repartition(2, "part")
+        .drop("part")
+        .withColumn("epoch", F.lit(0))
+        .withColumn("schema_change", F.lit(None).cast(SCHEMA_CHANGE_TYPE))
+    )
+    table = LakeTable.create(spark, tmproot + "/xp", TOKENS_TABLE_COLUMNS,
+                             key=TOKENS_MERGE_KEY, n_buckets=4)
+    runner = ReplayRunner(spark, table, source_df=df, precombine=True)
+    runner.run()
+    lin = [l for l in table.lineage() if "n_upserts" in l]
+    assert len(lin) == 1
+    # 4 rows, distinct (key, lsn) = {(d1,5),(d1,9),(d2,6)} -> exactly 1 dup
+    assert lin[0]["n_duplicates_dropped"] == 1
+    assert lin[0]["n_upserts"] == 3
+    got = {r["doc_id"]: list(r["tokens"]) for r in table.read().collect()}
+    assert got == {"d1": [9, 9], "d2": [7]}
+
+
 def test_pandas_lww_path_equivalent(spark, tmproot, binlog, oracle_df):
     table = _fresh_table(spark, tmproot)
     ReplayRunner(spark, table, source_path=binlog, use_pandas_lww=True,

@@ -37,9 +37,14 @@ def main() -> int:
     ap.add_argument("--events", type=int, default=4_000_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--pipeline", action="store_true")
+    ap.add_argument("--precombine", action="store_true",
+                    help="map-side LWW combine before the bucket shuffle")
     ap.add_argument("--generate", action="store_true")
     ap.add_argument("--label", default="")
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--master", default=None,
+                    help="e.g. local-cluster[4,1,6144] for the multi-JVM "
+                         "scaling shape; default local[--cores]")
     args = ap.parse_args()
 
     from agr_loader_spark.generator import generate_binlog
@@ -48,7 +53,7 @@ def main() -> int:
     from agr_loader_spark.session import get_spark
     from agr_loader_spark.streaming.runner import ReplayRunner
 
-    spark = get_spark("ab_replay", cores=args.cores)
+    spark = get_spark("ab_replay", cores=args.cores, master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.generate:
@@ -76,7 +81,11 @@ def main() -> int:
             table = LakeTable.create(
                 spark, os.path.join(work, f"tokens{rep}"),
                 TOKENS_TABLE_COLUMNS, key=TOKENS_MERGE_KEY, n_buckets=64)
-            kwargs = {"pipeline": True} if args.pipeline else {}
+            kwargs = {}
+            if args.pipeline:
+                kwargs["pipeline"] = True
+            if args.precombine:
+                kwargs["precombine"] = True
             runner = ReplayRunner(spark, table, source_path=args.binlog,
                                   **kwargs)
             t0 = time.monotonic()
@@ -92,6 +101,7 @@ def main() -> int:
                          capture_output=True, text=True).stdout.strip()
     print(json.dumps({
         "label": args.label or sha, "sha": sha, "pipeline": args.pipeline,
+        "precombine": args.precombine, "master": args.master,
         "reps": reps, "median": med, "n_events": n_events,
         "events_per_sec": round(n_events / med, 1), "cores": args.cores,
     }))

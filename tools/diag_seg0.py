@@ -37,16 +37,25 @@ def main() -> None:
     ap.add_argument("--log", default="/tmp/scalbench/binlog96")
     ap.add_argument("--eventdir", default="/tmp/diag_eventlog")
     ap.add_argument("--skip-warmup", action="store_true")
+    ap.add_argument("--precombine", action="store_true",
+                    help="map-side LWW combine before the bucket shuffle")
+    ap.add_argument("--warmup-events", type=int, default=400_000,
+                    help="warmup replay size; the campaign default 400k "
+                         "splits across e JVMs, so each 4-exec JVM enters "
+                         "segment 0 ~4x colder (JIT) than the 1-exec JVM — "
+                         "pass 1_600_000 to test per-JVM-equal warmup")
     args = ap.parse_args()
 
     os.makedirs(args.eventdir, exist_ok=True)
     for f in glob.glob(os.path.join(args.eventdir, "*")):
         os.remove(f)
 
-    os.environ["SPARK_GRAFT_EXTRA_CONF"] = json.dumps({
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
+    extra.update({
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": args.eventdir,
     })
+    os.environ["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(extra)
 
     from agr_loader_spark.generator import generate_binlog
     from agr_loader_spark.lake.table import LakeTable
@@ -57,13 +66,17 @@ def main() -> None:
     e = args.executors
     spark = get_spark(f"diag-seg0-{e}", cores=e,
                       master=f"local-cluster[{e},1,6144]")
+    # page-cache pre-warm (the campaign does this before every pair)
+    import subprocess
+    subprocess.run(f"cat {args.log}/*/*.parquet > /dev/null 2>&1", shell=True)
     if not args.skip_warmup:
+        we = args.warmup_events
         wdir = tempfile.mkdtemp(prefix="diagwarm_")
         wt = LakeTable.create(spark, os.path.join(wdir, "t"),
                               TOKENS_TABLE_COLUMNS, key=TOKENS_MERGE_KEY,
                               n_buckets=64)
-        wlog = generate_binlog(spark, n_events=400_000, n_docs=50_000,
-                               epoch_size=200_000, seed=7)
+        wlog = generate_binlog(spark, n_events=we, n_docs=we // 8,
+                               epoch_size=we // 2, seed=7)
         ReplayRunner(spark, wt, source_df=wlog, sink="arrow").run()
         shutil.rmtree(wdir, ignore_errors=True)
 
@@ -72,7 +85,8 @@ def main() -> None:
                              TOKENS_TABLE_COLUMNS, key=TOKENS_MERGE_KEY,
                              n_buckets=64)
     runner = ReplayRunner(spark, table, source_path=args.log,
-                          salt_buckets=16, sink="arrow", pipeline=False)
+                          salt_buckets=16, sink="arrow", pipeline=False,
+                          precombine=args.precombine)
     planobj = runner.plan()
     walls = []
     for s in range(args.steps):

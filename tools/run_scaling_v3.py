@@ -123,14 +123,22 @@ def worker(e: int, log: str, table_path: str, ctl: str) -> int:
 
     spark = get_spark(f"v3-worker-{e}", cores=e,
                       master=f"local-cluster[{e},1,6144]")
-    # steady-state warmup, identical to the v2 legs' --warmup
+    # steady-state warmup, scaled PER JVM (v3.1, pre-registered before
+    # pair 3): a fixed-size warmup splits across e executors, so each
+    # 4-exec JVM entered segment 0 ~4x colder (JIT) than the 1-exec JVM
+    # — measured as the segment-0 efficiency dip in pairs 1-2 (0.499 vs
+    # 0.78-1.04 on steady-state segments) and confirmed by the
+    # tools/diag_seg0.py warmup A/B. Production executors are
+    # long-lived; per-JVM-equal warmup removes the measurement artifact
+    # without touching anything timed.
     import tempfile
 
+    we = 400_000 * e
     wdir = tempfile.mkdtemp(prefix=f"v3warm_{e}_")
     wt = LakeTable.create(spark, os.path.join(wdir, "t"), TOKENS_TABLE_COLUMNS,
                           key=TOKENS_MERGE_KEY, n_buckets=64)
-    wlog = generate_binlog(spark, n_events=400_000, n_docs=50_000,
-                           epoch_size=200_000, seed=7)
+    wlog = generate_binlog(spark, n_events=we, n_docs=we // 8,
+                           epoch_size=we // 2, seed=7)
     ReplayRunner(spark, wt, source_df=wlog, sink="arrow").run()
     shutil.rmtree(wdir, ignore_errors=True)
 
@@ -196,6 +204,21 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
         SPARK_DRIVER_MEM="8g",
         SPARK_BCAST_THRESHOLD="10m",
         SPARK_MAX_PARTITION_BYTES="32m",
+        # v3.1 (pre-registered, identical on BOTH legs): size the
+        # precombine's final-agg exchange by data volume (64 partitions
+        # = n_buckets; the worker-session default max(cores,8) leaves
+        # 380MB/task and a 2GB sort-spill on segment 0), and let the
+        # one-task-per-JVM executors hash-aggregate in memory instead
+        # of sort-spilling (measured: seg0 4-exec final-agg CPU 174s ->
+        # 60s, wall 112.5 -> 72.0s; the threshold is NOT an engine
+        # default because 32 concurrent hash maps in a single shared
+        # JVM measure ~1.5x SLOWER at local[32] — per-topology memory
+        # budgeting, see BENCH/BASELINE.md).
+        SPARK_GRAFT_EXTRA_CONF=json.dumps({
+            "spark.sql.shuffle.partitions": "64",
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold":
+                "4000000",
+        }),
     )
     procs = {}
     for e in (1, 4):
@@ -320,7 +343,7 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
     seg_eff = {k: round(v[1] / (4 * v[4]), 3)
                for k, v in per_seg.items() if 1 in v and 4 in v}
     pair = {
-        "pair": rep, "protocol": "v3-interleaved",
+        "pair": rep, "protocol": "v3.1-interleaved",
         "t1_data_s": round(t1, 2), "t4_data_s": round(t4, 2),
         "events": n1, "efficiency": round(eff, 3) if eff else None,
         "per_segment_eff": seg_eff,

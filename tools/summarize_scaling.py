@@ -45,12 +45,15 @@ def main(path: str) -> int:
             "from_executors": lo, "to_executors": hi,
             "efficiency_median": round(eff, 3),
         }
-    if pairs:
-        effs = sorted(p["efficiency"] for p in pairs)
+    clean_pairs = [p for p in pairs if p.get("clean", True)
+                   and p.get("efficiency") is not None]
+    if clean_pairs:
+        effs = sorted(p["efficiency"] for p in clean_pairs)
         out["clean_pairs"] = {
             "n": len(effs),
             "efficiencies": effs,
             "efficiency_median": round(statistics.median(effs), 3),
+            "dirty_pairs_discarded": len(pairs) - len(clean_pairs),
             "dirty_legs_discarded": len(dirty),
         }
     print(json.dumps(out, indent=1))
