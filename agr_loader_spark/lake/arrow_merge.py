@@ -127,10 +127,13 @@ def make_bucket_fold(
     lists); the heavy inputs (batch rows, state files) stay distributed.
 
     ``precombined``: the changeset already went through
-    operators.dedup.precombine_lww — one winner row per key carrying
-    exact dedup counters (PRECOMBINE_COLS). The fold then skips its own
-    (key, lsn) dedup and reads the counters instead; LWW vs state and
-    delete routing are unchanged.
+    operators.dedup.precombine_lww — at most one winner row per key per
+    map partition, carrying ``__min_lsn`` (PRECOMBINE_COLS) for the
+    per-bucket offset range. The fold then skips its own (key, lsn)
+    pair-dedup (the per-key LWW mask resolves cross-partition survivors)
+    and reports zero dedup counters — the runner's planning pass
+    measured those exactly and merge_arrow substitutes them from the
+    lineage overrides; LWW vs state and delete routing are unchanged.
     """
     names = [c.name for c in current]
     out_pa_schema = arrow_schema(current)
@@ -138,12 +141,15 @@ def make_bucket_fold(
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf[bucket_col].iloc[0])
         if precombined:
-            # counters were measured exactly by the combine's collect_set
-            # union across map tasks (operators/dedup.py:precombine_lww)
+            # commit-level dedup counters were measured exactly by the
+            # runner's planning pass (ReplayRunner._plan) and arrive via
+            # lineage overrides — the local combine already dropped the
+            # loser/duplicate rows this fold would have counted. Only the
+            # per-bucket offset range is measurable (and needed) here.
             b_min_lsn = int(pdf["__min_lsn"].min())
             b_max_lsn = int(pdf[lsn_col].max())
-            n_batch_u = int(pdf["__n_u"].sum())
-            n_dups = int((pdf["__n_rows"] - pdf["__n_u"] - pdf["__n_d"]).sum())
+            n_batch_u = 0
+            n_dups = 0
         else:
             # per-partition lineage: the source-offset range this bucket
             # absorbed in this micro-batch (north rule: offset -> snapshot)
@@ -265,13 +271,13 @@ def make_bucket_fold_arrow(
         bucket = t.column(bucket_col)[0].as_py()
         lsn_raw = t.column(lsn_col).cast(pa.int64())
         if precombined:
+            # commit-level dedup counters come from the planning pass via
+            # lineage overrides (see the pandas fold above); only the
+            # per-bucket offset range is measured here
             b_min_lsn = pc.min(t.column("__min_lsn")).as_py()
             b_max_lsn = pc.max(lsn_raw).as_py()
-            pre_n_u = int(pc.sum(t.column("__n_u")).as_py() or 0)
-            pre_n_dups = int(
-                (pc.sum(t.column("__n_rows")).as_py() or 0)
-                - pre_n_u - (pc.sum(t.column("__n_d")).as_py() or 0)
-            )
+            pre_n_u = 0
+            pre_n_dups = 0
         else:
             b_min_lsn = pc.min(lsn_raw).as_py()
             b_max_lsn = pc.max(lsn_raw).as_py()
@@ -312,8 +318,10 @@ def make_bucket_fold_arrow(
                 srt.column(lsn_col).combine_chunks(), n)
             dedup = srt.filter(pa.array(pair_mask))
         else:
-            # precombined: one batch row per key by construction — the
-            # combine already collapsed (key, lsn) re-deliveries upstream
+            # precombined: at most one batch row per key PER MAP PARTITION;
+            # cross-partition survivors of the same key (incl. identical
+            # re-delivered winner copies) are resolved by the first-per-key
+            # winner mask below, so the pair-dedup pass is redundant
             dedup = srt
         # exact re-delivery count: state rows (unique keys, lsn=-1) never
         # collide, so every dropped row is a duplicated (key, lsn) event

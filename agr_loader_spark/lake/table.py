@@ -688,16 +688,24 @@ class LakeTable:
             }
 
         lin = _resolve_lineage(lineage)
+        # precombined changesets: the fold cannot see re-delivery
+        # multiplicity (the map-local combine dropped the copies), so the
+        # runner's planning pass measured the exact counts and passed
+        # them through the lineage dict (runner._apply_data_segment)
+        exact_u = lin.pop("n_upserts_exact", None)
+        exact_dups = lin.pop("n_dups_exact", None)
         lin.update(
             {
                 "epoch_key": epoch_key,
                 "snapshot_id": new_sid,
-                "n_upserts": n_upserts,
+                "n_upserts": n_upserts if exact_u is None else int(exact_u),
                 "n_deletes": n_deletes,
                 # EXACT re-delivery dedup count, measured where the dedup
-                # happens (the bucket fold) — supersedes the planning
-                # pass's approx estimate in fast-plan mode
-                "n_duplicates_dropped": n_dups,
+                # happens (the bucket fold), or — precombined — in the
+                # runner's narrow planning pass
+                "n_duplicates_dropped": (
+                    n_dups if exact_dups is None else int(exact_dups)
+                ),
                 # actual touched set (buckets that received rows), not the
                 # caller's declared superset — fast-plan passes all buckets
                 "buckets_touched": sorted(int(r["bucket"]) for r in manifests),
@@ -948,7 +956,8 @@ class LakeTable:
         # deferred lineage values are NOT resolved here: a noop commit ran
         # no action, so an Observation-backed callable would block forever
         lin = {k: (None if callable(v) else v)
-               for k, v in (lineage or {}).items()}
+               for k, v in (lineage or {}).items()
+               if k not in ("n_upserts_exact", "n_dups_exact")}
         lin.update({"epoch_key": epoch_key, "snapshot_id": new_sid,
                     "n_upserts": 0, "n_deletes": 0, "buckets_touched": []})
         m = self._child_manifest(new_sid, "merge-noop", epoch_key)

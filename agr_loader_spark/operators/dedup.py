@@ -139,7 +139,7 @@ def dedup_exact(df: DataFrame, cols: Iterable[str] | None = None) -> DataFrame:
 
 #: counter columns emitted by :func:`precombine_lww`, consumed by the
 #: bucket folds (lake/arrow_merge.py) when the changeset is precombined
-PRECOMBINE_COLS = ("__n_rows", "__n_u", "__n_d", "__min_lsn")
+PRECOMBINE_COLS = ("__min_lsn",)
 
 
 def precombine_lww(
@@ -148,52 +148,73 @@ def precombine_lww(
     op_col: str = "__op",
     lsn_col: str = "event_lsn",
 ) -> DataFrame:
-    """Map-side LWW combine: collapse a changeset to one winner row per
-    key BEFORE the bucket shuffle, carrying exact dedup counters.
+    """Map-LOCAL LWW combine: collapse each input partition to one
+    winner row per key BEFORE the bucket shuffle.
 
     Why: on an update-heavy (zipf-skewed) change feed most shuffled bytes
     are LWW losers — payloads that the bucket fold will immediately
-    discard. A ``groupBy(key)`` aggregation plans as partial (map-side)
-    + final, so duplicates of a key collapse inside each map task before
-    their token arrays ever hit the shuffle; hot keys (the bulk of event
-    volume under zipf) collapse almost entirely. This is the classic
-    combiner, and it disproportionately helps multi-executor topologies
-    where shuffle bytes cross JVMs/network. The cost is one extra narrow
-    exchange (winners only) between the combine and the bucket fold.
+    discard. Collapsing per map partition means duplicates of a key die
+    inside each task before their token arrays ever hit the shuffle;
+    hot keys (the bulk of event volume under zipf) collapse almost
+    entirely. This is the classic combiner, and it disproportionately
+    helps multi-executor topologies where shuffle bytes cross
+    JVMs/network.
 
-    Exactness of the fold's lineage counters is preserved without
-    shipping loser payloads:
+    Why ``mapInArrow`` and not a ``groupBy(key)`` aggregation: Spark has
+    no hash-based whole-stage plan for a payload-carrying argmax —
+    ``max_by(struct(payload), lsn)`` has a non-primitive buffer, so it
+    plans as SortAggregate (a full per-partition payload sort), and
+    bolting ``collect_set`` counters on top switches it to
+    ObjectHashAggregate with UNBOUNDED per-key state (zipf-hot keys
+    collect millions of lsns) plus the 128-key sort-based fallback.
+    Both were measured slower and wildly higher-variance than no combine
+    at all on 4-executor legs (BENCH/BASELINE.md round-4 precombine
+    section). The Arrow path is a single vectorized pass: winner indices
+    come from a hash groupby over ONLY the narrow (key, lsn) columns,
+    then ``Table.take`` selects winner rows without the payload ever
+    leaving Arrow buffers. No sort, no extra exchange, bounded memory
+    (one input split per task).
 
-    - ``__n_rows``  = count of raw events for the key (dup copies incl.)
-    - ``__n_u``/``__n_d`` = EXACT distinct-lsn counts per op
-      (``collect_set`` unions partial sets across map tasks, so a
-      re-delivered (key, lsn) pair split across map partitions still
-      counts once; only the set SIZES survive the projection)
-    - ``__min_lsn`` + the winner's ``lsn_col`` bound the offset range
+    Semantics: within a partition only the max-lsn row per key survives,
+    plus ``__min_lsn`` = that partition's min lsn per key, so the bucket
+    fold can still report the exact per-bucket source-offset range
+    absorbed (north rule: offset -> snapshot lineage). Cross-partition
+    winners for the same key are LWW-resolved by the fold, unchanged.
+    Ties on (key, lsn) are re-deliveries (a binlog lsn names one event)
+    with identical payloads, so the surviving row is unambiguous.
 
-    so ``n_duplicates_dropped = sum(__n_rows - __n_u - __n_d)`` is the
-    same exact re-delivery count the un-combined fold measures, and
-    ``n_upserts = sum(__n_u)`` matches its deduped-U-event count.
-
-    Output: one row per key with the max-lsn winner's payload columns
-    (incl. ``op_col``/``lsn_col``) plus the counters above. Ties on
-    (key, lsn) are re-deliveries (a binlog lsn names one event), so the
-    winner payload is unambiguous. LWW semantics vs table state are
-    unchanged: every batch winner has lsn >= 0 > -1 (state).
+    Exact commit-level dedup counters (n_upserts / n_duplicates_dropped)
+    cannot be measured after a local collapse; the replay runner computes
+    them in its one narrow planning pass instead (a distinct-lsn
+    two-level aggregation over (epoch, seg, lsn, op) — see
+    ReplayRunner._plan), which the precombine equivalence tests hold
+    bit-identical to the uncombined fold's counts.
     """
-    payload = [c for c in df.columns if c not in (key, op_col, lsn_col)]
-    agg = df.groupBy(key).agg(
-        F.max_by(F.struct(*payload, F.col(op_col)), F.col(lsn_col)).alias("__w"),
-        F.max(lsn_col).alias(lsn_col),
-        F.min(lsn_col).alias("__min_lsn"),
-        F.count(F.lit(1)).alias("__n_rows"),
-        F.size(
-            F.collect_set(F.when(F.col(op_col) == "U", F.col(lsn_col)))
-        ).alias("__n_u"),
-        F.size(
-            F.collect_set(F.when(F.col(op_col) == "D", F.col(lsn_col)))
-        ).alias("__n_d"),
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # NOTE: StructType.add mutates in place — never call it on df.schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("__min_lsn", LongType())]
     )
-    return agg.select(
-        key, "__w.*", F.col(lsn_col), "__min_lsn", "__n_rows", "__n_u", "__n_d"
-    )
+
+    def _combine(batches):
+        batches = list(batches)
+        if not batches:
+            return
+        t = pa.Table.from_batches(batches)
+        if t.num_rows == 0:
+            return
+        # winner selection over the two narrow columns only
+        nar = pd.DataFrame({
+            "k": t.column(key).to_pandas(),
+            "l": t.column(lsn_col).to_numpy(zero_copy_only=False),
+        })
+        g = nar.groupby("k", sort=False)["l"]
+        idx = g.idxmax().to_numpy()
+        mins = g.min().to_numpy()
+        win = t.take(pa.array(idx, pa.int64()))
+        win = win.append_column("__min_lsn", pa.array(mins, pa.int64()))
+        yield from win.to_batches()
+
+    return df.mapInArrow(_combine, out_schema)

@@ -54,7 +54,7 @@ class ReplayRunner:
         use_pandas_lww: bool = False,
         use_salted_lww: bool = False,
         sink: str = "arrow",  # "arrow" (2-stage state-colocated COW) | "jvm" | "delta" (write-optimized MOR)
-        precombine: bool | None = None,  # arrow sink only: map-side LWW combine (operators/dedup.py:precombine_lww) collapses each segment to one winner row per key BEFORE the bucket shuffle — cuts shuffled/folded payload bytes by the feed's update multiplicity (zipf: most event volume is LWW losers) at the price of one extra winners-only exchange; counters stay exact. None (default) = on for the arrow sink: measured faster at every topology tried (local[32] ~1.3x, 1-exec cluster 1.7x, 4-exec cluster 2-3x on the table-build segment — BENCH/BASELINE.md round-4 precombine section), and bench.py re-verifies the claim every run with an uncombined probe rep rather than freezing it here.
+        precombine: bool | None = None,  # arrow sink only: map-LOCAL LWW combine (operators/dedup.py:precombine_lww, Arrow-vectorized mapInArrow — NOT a groupBy agg; see its docstring for why) collapses each map partition to one winner row per key BEFORE the bucket shuffle, cutting shuffled/folded payload bytes by the feed's update multiplicity (zipf: most event volume is LWW losers) with zero added exchanges and bounded per-task memory. Exact dedup counters move to the narrow planning pass (_plan). None (default) = on for the arrow sink, and bench.py re-verifies the claim every run with an uncombined probe rep rather than freezing it here (the r4 JVM-agg combine's "faster everywhere" claim was falsified by exactly such a probe; BENCH/BASELINE.md round-4 precombine section).
         pipeline: bool | str = False,  # async fold overlap: prefetch the next segment's scan+shuffle (schema-aware) under the current fold. True/False, or "auto": measure both regimes on the first four data segments of THIS run and lock in the faster (the overlap win flips sign across hosts/topologies — r3 measured it +53% wall, the r4 host measured it faster; a frozen flag is wrong somewhere, so decide from live per-event rates instead)
         compact_at_end: bool = True,  # delta sink only: collapse MOR deltas to base files after the last segment (inside run(), so measured walls are apples-to-apples with the COW sink)
     ):
@@ -143,27 +143,66 @@ class ReplayRunner:
                 (F.col("epoch") == r["epoch"]) & (F.col("event_lsn") > r["event_lsn"]), 2
             ).otherwise(0)
         data = ev.filter(F.col("op") != "S")
-        aggs = [
-            F.count("*").alias("n_events"),
-            F.min("event_lsn").alias("min_lsn"),
-            F.max("event_lsn").alias("max_lsn"),
-        ]
-        if not fast:
-            aggs += [
-                # metrics-only: approx avoids a full (doc, lsn) dedup
-                # shuffle; hash the pair instead of building a string
-                F.approx_count_distinct(
-                    F.xxhash64("doc_id", "event_lsn")
-                ).alias("n_unique"),
-                F.collect_set(self.table._bucket_expr(F.col("doc_id"))).alias("buckets"),
+        if self.precombine:
+            # the map-LOCAL combine (operators/dedup.py:precombine_lww)
+            # collapses LWW losers before the fold ever sees them, so the
+            # fold can no longer count re-deliveries. Measure them HERE,
+            # exactly, in the same narrow planning scan: level 1 groups by
+            # (epoch, seg, lsn) — a binlog lsn names one event, so copies
+            # of an lsn are re-deliveries and collapse map-side in the
+            # partial aggregation — level 2 counts distinct events and
+            # distinct U-events per segment. All codegen HashAggregate
+            # (primitive buffers only); the extra shuffle carries one
+            # ~30-byte row per distinct lsn, once per replay.
+            lvl1 = data.groupBy(
+                "epoch", seg_expr.alias("seg"), "event_lsn"
+            ).agg(
+                F.count("*").alias("copies"),
+                # int flag, not max(op): a string agg buffer is not a
+                # mutable-primitive type, which would silently demote the
+                # whole level-1 aggregation to SortAggregate (per-partition
+                # sort) — tests/test_plans.py gates this stays HashAggregate
+                F.max(
+                    F.when(F.col("op") == "D", 1).otherwise(0)
+                ).alias("is_d"),  # copies of an lsn are identical events
+                *([] if fast else
+                  [F.min(self.table._bucket_expr(F.col("doc_id"))).alias("b1")]),
+            )
+            aggs = [
+                F.sum("copies").alias("n_events"),
+                F.min("event_lsn").alias("min_lsn"),
+                F.max("event_lsn").alias("max_lsn"),
+                F.count("*").alias("n_unique"),
+                # changeset op mapping (plans/merge.py): everything
+                # non-delete becomes an upsert
+                F.sum(F.when(F.col("is_d") == 0, 1).otherwise(0)).alias("n_unique_u"),
             ]
-        stats_rows = data.groupBy("epoch", seg_expr.alias("seg")).agg(*aggs).collect()
+            if not fast:
+                aggs.append(F.collect_set("b1").alias("buckets"))
+            stats_rows = lvl1.groupBy("epoch", "seg").agg(*aggs).collect()
+        else:
+            aggs = [
+                F.count("*").alias("n_events"),
+                F.min("event_lsn").alias("min_lsn"),
+                F.max("event_lsn").alias("max_lsn"),
+            ]
+            if not fast:
+                aggs += [
+                    # metrics-only: approx avoids a full (doc, lsn) dedup
+                    # shuffle; hash the pair instead of building a string
+                    F.approx_count_distinct(
+                        F.xxhash64("doc_id", "event_lsn")
+                    ).alias("n_unique"),
+                    F.collect_set(self.table._bucket_expr(F.col("doc_id"))).alias("buckets"),
+                ]
+            stats_rows = data.groupBy("epoch", seg_expr.alias("seg")).agg(*aggs).collect()
         stats = {
             (r["epoch"], r["seg"]): {
                 "n_events": r["n_events"],
                 "min_lsn": r["min_lsn"],
                 "max_lsn": r["max_lsn"],
-                "n_unique": None if fast else r["n_unique"],
+                "n_unique": r["n_unique"] if (self.precombine or not fast) else None,
+                "n_unique_u": r["n_unique_u"] if self.precombine else None,
                 "buckets": None if fast else r["buckets"],
             }
             for r in stats_rows
@@ -399,8 +438,7 @@ class ReplayRunner:
                         have = [c for c in prepared.columns
                                 if c not in (OP_COL, "event_lsn", "__pk")
                                 and not c.startswith("__bucket")
-                                and c not in ("__n_rows", "__n_u", "__n_d",
-                                              "__min_lsn")]
+                                and c != "__min_lsn"]
                         if have != want:
                             prepared.unpersist()
                             prepared = None
@@ -473,7 +511,16 @@ class ReplayRunner:
             "max_lsn": int(stats["max_lsn"]) if stats is not None else None,
             "n_events": n_events,
         }
-        if stats is not None and stats.get("n_unique") is not None:
+        if self.precombine and stats is not None and \
+                stats.get("n_unique_u") is not None:
+            # the local combine erased re-delivery multiplicity before the
+            # fold; the planning pass counted it exactly (see _plan) —
+            # merge_arrow substitutes these for the fold-summed counters
+            lineage["n_upserts_exact"] = int(stats["n_unique_u"])
+            lineage["n_dups_exact"] = max(
+                0, n_events - int(stats["n_unique"])
+            )
+        elif stats is not None and stats.get("n_unique") is not None:
             # full-plan mode only; fold sinks record the EXACT count as
             # n_duplicates_dropped from the fold manifests instead
             lineage["n_duplicates_dropped_approx"] = max(
