@@ -37,8 +37,11 @@ def main() -> int:
     ap.add_argument("--events", type=int, default=4_000_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--pipeline", action="store_true")
-    ap.add_argument("--precombine", action="store_true",
-                    help="map-side LWW combine before the bucket shuffle")
+    ap.add_argument("--precombine", default=None,
+                    action=argparse.BooleanOptionalAction,
+                    help="map-LOCAL LWW combine before the bucket shuffle; "
+                         "default None = runner default (ON for arrow sink); "
+                         "--no-precombine forces it off")
     ap.add_argument("--generate", action="store_true")
     ap.add_argument("--label", default="")
     ap.add_argument("--cores", type=int, default=32)
@@ -84,8 +87,8 @@ def main() -> int:
             kwargs = {}
             if args.pipeline:
                 kwargs["pipeline"] = True
-            if args.precombine:
-                kwargs["precombine"] = True
+            if args.precombine is not None:
+                kwargs["precombine"] = args.precombine
             runner = ReplayRunner(spark, table, source_path=args.binlog,
                                   **kwargs)
             t0 = time.monotonic()
