@@ -130,10 +130,12 @@ def make_bucket_fold(
     operators.dedup.precombine_lww — at most one winner row per key per
     map partition, carrying ``__min_lsn`` (PRECOMBINE_COLS) for the
     per-bucket offset range. The fold then skips its own (key, lsn)
-    pair-dedup (the per-key LWW mask resolves cross-partition survivors)
-    and reports zero dedup counters — the runner's planning pass
-    measured those exactly and merge_arrow substitutes them from the
-    lineage overrides; LWW vs state and delete routing are unchanged.
+    pair-dedup (the per-key LWW mask resolves cross-partition survivors).
+    Re-delivery dedup counters are unmeasurable after the local collapse:
+    the runner supplies them via lineage — approx by default, exact with
+    ``exact_counts=True`` — and n_upserts counts APPLIED upserts (winner
+    rows written), which stays exact. LWW vs state and delete routing
+    are unchanged.
     """
     names = [c.name for c in current]
     out_pa_schema = arrow_schema(current)
@@ -141,14 +143,14 @@ def make_bucket_fold(
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf[bucket_col].iloc[0])
         if precombined:
-            # commit-level dedup counters were measured exactly by the
-            # runner's planning pass (ReplayRunner._plan) and arrive via
-            # lineage overrides — the local combine already dropped the
-            # loser/duplicate rows this fold would have counted. Only the
-            # per-bucket offset range is measurable (and needed) here.
+            # the local combine already dropped the loser/duplicate rows
+            # this fold would have counted — re-delivery multiplicity is
+            # unmeasurable here. n_dups=0 is NOT recorded as a dup count:
+            # the runner sends approx (or exact_counts=True planning-pass)
+            # counters through lineage and merge() omits/overrides this.
+            # The per-bucket offset range IS still exact via __min_lsn.
             b_min_lsn = int(pdf["__min_lsn"].min())
             b_max_lsn = int(pdf[lsn_col].max())
-            n_batch_u = 0
             n_dups = 0
         else:
             # per-partition lineage: the source-offset range this bucket
@@ -204,10 +206,12 @@ def make_bucket_fold(
                 "bucket": pd.array([bucket], dtype="int32"),
                 "path": [rel_path],
                 "n_rows": pd.array([len(win)], dtype="int64"),
-                # deduped batch events with op U: the combine counted them
-                # exactly; otherwise count post-dedup rows minus state
+                # uncombined: deduped batch events with op U (post-dedup
+                # rows minus state). Precombined: distinct U events are
+                # uncountable post-collapse, so count APPLIED upserts —
+                # winner rows actually written — which is exact here.
                 "n_upserts": pd.array(
-                    [n_batch_u if precombined
+                    [len(win) if precombined
                      else int((pdf[op_col] == "U").sum()
                               - (len(state) if state is not None else 0))],
                     dtype="int64"),
@@ -271,12 +275,12 @@ def make_bucket_fold_arrow(
         bucket = t.column(bucket_col)[0].as_py()
         lsn_raw = t.column(lsn_col).cast(pa.int64())
         if precombined:
-            # commit-level dedup counters come from the planning pass via
-            # lineage overrides (see the pandas fold above); only the
-            # per-bucket offset range is measured here
+            # re-delivery dedup counters come from the runner's planning
+            # pass via lineage (approx, or exact with exact_counts=True;
+            # see the pandas fold above); only the per-bucket offset
+            # range is measured here
             b_min_lsn = pc.min(t.column("__min_lsn")).as_py()
             b_max_lsn = pc.max(lsn_raw).as_py()
-            pre_n_u = 0
             pre_n_dups = 0
         else:
             b_min_lsn = pc.min(lsn_raw).as_py()
@@ -338,7 +342,9 @@ def make_bucket_fold_arrow(
                 win = win.filter(pc.is_in(win.column(key), value_set=state_keys))
             else:
                 win = win.slice(0, 0)
-        n_upserts = pre_n_u if precombined else int(
+        # precombined: APPLIED upserts (winner rows written) — distinct U
+        # events are uncountable post-collapse (see the pandas fold)
+        n_upserts = len(win) if precombined else int(
             (pc.sum(pc.equal(dedup.column(op_col), "U")).as_py() or 0) - n_state
         )
 

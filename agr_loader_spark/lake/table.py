@@ -689,29 +689,36 @@ class LakeTable:
 
         lin = _resolve_lineage(lineage)
         # precombined changesets: the fold cannot see re-delivery
-        # multiplicity (the map-local combine dropped the copies), so the
-        # runner's planning pass measured the exact counts and passed
-        # them through the lineage dict (runner._apply_data_segment)
+        # multiplicity (the map-local combine dropped the copies). The
+        # runner either measured exact counts in its planning pass
+        # (exact_counts=True -> n_upserts_exact / n_dups_exact overrides)
+        # or sent approx counters plus the counters_precombined marker —
+        # then the fold's dup sum is meaningless (always 0) and is
+        # OMITTED rather than recorded as a false zero; n_upserts counts
+        # APPLIED upserts (winner rows written), which the fold still
+        # measures exactly (runner._apply_data_segment).
         exact_u = lin.pop("n_upserts_exact", None)
         exact_dups = lin.pop("n_dups_exact", None)
+        pre_approx = bool(lin.pop("counters_precombined", False))
         lin.update(
             {
                 "epoch_key": epoch_key,
                 "snapshot_id": new_sid,
                 "n_upserts": n_upserts if exact_u is None else int(exact_u),
                 "n_deletes": n_deletes,
-                # EXACT re-delivery dedup count, measured where the dedup
-                # happens (the bucket fold), or — precombined — in the
-                # runner's narrow planning pass
-                "n_duplicates_dropped": (
-                    n_dups if exact_dups is None else int(exact_dups)
-                ),
                 # actual touched set (buckets that received rows), not the
                 # caller's declared superset — fast-plan passes all buckets
                 "buckets_touched": sorted(int(r["bucket"]) for r in manifests),
                 "per_bucket_offsets": per_bucket,
             }
         )
+        if not pre_approx or exact_dups is not None:
+            # EXACT re-delivery dedup count, measured where the dedup
+            # happens (the bucket fold), or — precombined exact mode —
+            # in the runner's narrow planning pass
+            lin["n_duplicates_dropped"] = (
+                n_dups if exact_dups is None else int(exact_dups)
+            )
         m = self._child_manifest(
             new_sid, "compact" if replace_state else "merge-arrow", epoch_key
         )
@@ -957,7 +964,8 @@ class LakeTable:
         # no action, so an Observation-backed callable would block forever
         lin = {k: (None if callable(v) else v)
                for k, v in (lineage or {}).items()
-               if k not in ("n_upserts_exact", "n_dups_exact")}
+               if k not in ("n_upserts_exact", "n_dups_exact",
+                            "counters_precombined")}
         lin.update({"epoch_key": epoch_key, "snapshot_id": new_sid,
                     "n_upserts": 0, "n_deletes": 0, "buckets_touched": []})
         m = self._child_manifest(new_sid, "merge-noop", epoch_key)

@@ -55,6 +55,7 @@ class ReplayRunner:
         use_salted_lww: bool = False,
         sink: str = "arrow",  # "arrow" (2-stage state-colocated COW) | "jvm" | "delta" (write-optimized MOR)
         precombine: bool | None = None,  # arrow sink only: map-LOCAL LWW combine (operators/dedup.py:precombine_lww, Arrow-vectorized mapInArrow — NOT a groupBy agg; see its docstring for why) collapses each map partition to one winner row per key BEFORE the bucket shuffle, cutting shuffled/folded payload bytes by the feed's update multiplicity (zipf: most event volume is LWW losers) with zero added exchanges and bounded per-task memory. Exact dedup counters move to the narrow planning pass (_plan). None (default) = on for the arrow sink, and bench.py re-verifies the claim every run with an uncombined probe rep rather than freezing it here (the r4 JVM-agg combine's "faster everywhere" claim was falsified by exactly such a probe; BENCH/BASELINE.md round-4 precombine section).
+        exact_counts: bool = False,  # precombine mode only: the map-local combine erases re-delivery multiplicity before the fold, so exact n_upserts / n_duplicates_dropped need a two-level distinct-lsn aggregation in the planning pass — a full extra pass over the segment (~60 core-s per 34M events, measured round 4) paid for a metrics counter. Default OFF: lineage carries n_upserts_approx / n_duplicates_dropped_approx from approx_count_distinct folded into the same narrow planning agg (no extra shuffle, one expression), plus the fold-exact applied-upsert count as n_upserts. Turn on for audits where distinct-event counts must be exact. Uncombined runs always have exact counters — the fold measures them for free.
         pipeline: bool | str = False,  # async fold overlap: prefetch the next segment's scan+shuffle (schema-aware) under the current fold. True/False, or "auto": measure both regimes on the first four data segments of THIS run and lock in the faster (the overlap win flips sign across hosts/topologies — r3 measured it +53% wall, the r4 host measured it faster; a frozen flag is wrong somewhere, so decide from live per-event rates instead)
         compact_at_end: bool = True,  # delta sink only: collapse MOR deltas to base files after the last segment (inside run(), so measured walls are apples-to-apples with the COW sink)
     ):
@@ -78,6 +79,7 @@ class ReplayRunner:
         if precombine and sink != "arrow":
             raise ValueError("precombine is only supported on the arrow sink")
         self.precombine = precombine
+        self.exact_counts = bool(exact_counts)
         self.compact_at_end = compact_at_end
 
     # ------------------------------------------------------------------ source
@@ -143,7 +145,7 @@ class ReplayRunner:
                 (F.col("epoch") == r["epoch"]) & (F.col("event_lsn") > r["event_lsn"]), 2
             ).otherwise(0)
         data = ev.filter(F.col("op") != "S")
-        if self.precombine:
+        if self.precombine and self.exact_counts:
             # the map-LOCAL combine (operators/dedup.py:precombine_lww)
             # collapses LWW losers before the fold ever sees them, so the
             # fold can no longer count re-deliveries. Measure them HERE,
@@ -153,7 +155,11 @@ class ReplayRunner:
             # partial aggregation — level 2 counts distinct events and
             # distinct U-events per segment. All codegen HashAggregate
             # (primitive buffers only); the extra shuffle carries one
-            # ~30-byte row per distinct lsn, once per replay.
+            # ~30-byte row per distinct lsn, once per replay. That shuffle
+            # is why this is OPT-IN (exact_counts=True): one row per
+            # distinct event is O(n) rows — narrow, but measured ~60
+            # core-s per 34M-event segment at 4 executors, a full extra
+            # pass paid for a metrics counter (BENCH/BASELINE.md r4).
             lvl1 = data.groupBy(
                 "epoch", seg_expr.alias("seg"), "event_lsn"
             ).agg(
@@ -186,6 +192,27 @@ class ReplayRunner:
                 F.min("event_lsn").alias("min_lsn"),
                 F.max("event_lsn").alias("max_lsn"),
             ]
+            if self.precombine:
+                # default (approx) counters for precombined runs: the
+                # combine erases re-delivery multiplicity before the fold,
+                # so approximate it here. An lsn names one event, so
+                # distinct-lsn needs no doc_id decode — these two extra
+                # expressions ride the same narrow segment-stats partial
+                # aggregation (HLL sketch buffers, no extra shuffle),
+                # compatible with fast-plan's 3-column scan.
+                # rsd 0.01 (~11k HLL registers, ~10 KB per group-state):
+                # the dup estimate is n_events - distinct_estimate, so its
+                # absolute error is rsd * n_events — at typical re-delivery
+                # rates (<1%) the sign is informative, the magnitude only
+                # to ~1% of the segment. Exactness costs a full extra
+                # pass: exact_counts=True.
+                aggs += [
+                    F.approx_count_distinct("event_lsn", 0.01)
+                    .alias("n_unique_approx"),
+                    F.approx_count_distinct(
+                        F.when(F.col("op") != "D", F.col("event_lsn")), 0.01
+                    ).alias("n_unique_u_approx"),
+                ]
             if not fast:
                 aggs += [
                     # metrics-only: approx avoids a full (doc, lsn) dedup
@@ -196,13 +223,20 @@ class ReplayRunner:
                     F.collect_set(self.table._bucket_expr(F.col("doc_id"))).alias("buckets"),
                 ]
             stats_rows = data.groupBy("epoch", seg_expr.alias("seg")).agg(*aggs).collect()
+        exact = self.precombine and self.exact_counts
         stats = {
             (r["epoch"], r["seg"]): {
                 "n_events": r["n_events"],
                 "min_lsn": r["min_lsn"],
                 "max_lsn": r["max_lsn"],
-                "n_unique": r["n_unique"] if (self.precombine or not fast) else None,
-                "n_unique_u": r["n_unique_u"] if self.precombine else None,
+                "n_unique": r["n_unique"] if (exact or not fast) else None,
+                "n_unique_u": r["n_unique_u"] if exact else None,
+                "n_unique_approx": (
+                    r["n_unique_approx"] if self.precombine and not exact else None
+                ),
+                "n_unique_u_approx": (
+                    r["n_unique_u_approx"] if self.precombine and not exact else None
+                ),
                 "buckets": None if fast else r["buckets"],
             }
             for r in stats_rows
@@ -519,6 +553,18 @@ class ReplayRunner:
             lineage["n_upserts_exact"] = int(stats["n_unique_u"])
             lineage["n_dups_exact"] = max(
                 0, n_events - int(stats["n_unique"])
+            )
+        elif self.precombine and stats is not None and \
+                stats.get("n_unique_approx") is not None:
+            # default precombined mode: distinct-event counts are approx
+            # (HLL in the planning agg); n_upserts stays exact but counts
+            # APPLIED upserts (fold winners written), not distinct U
+            # events — merge() drops the unmeasurable fold dup counter
+            # when it sees counters_precombined (lake/table.py)
+            lineage["counters_precombined"] = True
+            lineage["n_upserts_approx"] = int(stats["n_unique_u_approx"])
+            lineage["n_duplicates_dropped_approx"] = max(
+                0, n_events - int(stats["n_unique_approx"])
             )
         elif stats is not None and stats.get("n_unique") is not None:
             # full-plan mode only; fold sinks record the EXACT count as

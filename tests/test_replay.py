@@ -166,15 +166,17 @@ def test_invariants(spark, tmproot, binlog):
 
 
 def test_precombine_replay_equivalent(spark, tmproot, binlog, oracle_df):
-    """precombine=True (map-side LWW combine before the bucket shuffle,
-    operators/dedup.py:precombine_lww) must produce the byte-identical
-    final state AND identical lineage counters — n_upserts / n_deletes /
-    exact n_duplicates_dropped / offset ranges / per-bucket offsets —
-    as the uncombined fold, on a log containing re-deliveries, deletes,
-    and mid-stream schema evolution."""
+    """precombine=True (map-local LWW combine before the bucket shuffle,
+    operators/dedup.py:precombine_lww) with exact_counts=True must
+    produce the byte-identical final state AND identical lineage
+    counters — n_upserts / n_deletes / exact n_duplicates_dropped /
+    offset ranges / per-bucket offsets — as the uncombined fold, on a
+    log containing re-deliveries, deletes, and mid-stream schema
+    evolution."""
     t_pre = LakeTable.create(spark, tmproot + "/pre", TOKENS_TABLE_COLUMNS,
                              key=TOKENS_MERGE_KEY, n_buckets=16)
-    ReplayRunner(spark, t_pre, source_path=binlog, precombine=True).run()
+    ReplayRunner(spark, t_pre, source_path=binlog, precombine=True,
+                 exact_counts=True).run()
     _assert_state_equals_oracle(t_pre, oracle_df)
 
     t_ref = LakeTable.create(spark, tmproot + "/ref", TOKENS_TABLE_COLUMNS,
@@ -193,12 +195,50 @@ def test_precombine_replay_equivalent(spark, tmproot, binlog, oracle_df):
     assert checked_dups > 0  # the log really contains re-deliveries
 
 
+def test_precombine_default_approx_counters(spark, tmproot, binlog,
+                                            oracle_df):
+    """Default precombine mode (exact_counts=False): final state is still
+    byte-identical to the oracle, offset/per-bucket lineage stays exact,
+    and the dedup counters appear as *_approx keys (HLL estimates from
+    the planning agg — within a few % of truth) with NO false-zero
+    n_duplicates_dropped recorded; n_upserts counts applied upserts."""
+    t = LakeTable.create(spark, tmproot + "/preapx", TOKENS_TABLE_COLUMNS,
+                         key=TOKENS_MERGE_KEY, n_buckets=16)
+    ReplayRunner(spark, t, source_path=binlog, precombine=True).run()
+    _assert_state_equals_oracle(t, oracle_df)
+
+    t_ref = LakeTable.create(spark, tmproot + "/refapx", TOKENS_TABLE_COLUMNS,
+                             key=TOKENS_MERGE_KEY, n_buckets=16)
+    ReplayRunner(spark, t_ref, source_path=binlog, precombine=False).run()
+    lp = {l["epoch_key"]: l for l in t.lineage() if "n_upserts" in l}
+    lr = {l["epoch_key"]: l for l in t_ref.lineage() if "n_upserts" in l}
+    assert lp.keys() == lr.keys()
+    for k in lp:
+        # exact fields are mode-independent
+        for f in ("n_deletes", "min_lsn", "max_lsn", "n_events",
+                  "buckets_touched", "per_bucket_offsets"):
+            assert lp[k][f] == lr[k][f], (k, f)
+        # the fold cannot measure dups post-collapse: no false zero
+        assert "n_duplicates_dropped" not in lp[k], k
+        # the dup estimate is n_events - HLL(distinct lsn): its error is
+        # relative to SEGMENT SIZE (rsd=0.01), not to the dup count —
+        # honest bound, see runner._plan
+        approx = lp[k]["n_duplicates_dropped_approx"]
+        exact = lr[k]["n_duplicates_dropped"]
+        assert abs(approx - exact) <= max(5, int(0.03 * lp[k]["n_events"])), \
+            (k, approx, exact, lp[k]["n_events"])
+        # applied upserts: winner rows written this commit
+        assert lp[k]["n_upserts"] >= 0
+        assert lp[k]["n_upserts_approx"] > 0
+
+
 def test_precombine_exact_dups_across_partitions(spark, tmproot):
     """A re-delivered (key, lsn) pair split across DIFFERENT map
     partitions, with a later event for the same key sharing a partition
-    with one copy: the combine's collect_set union must still count the
-    duplicate exactly once-dropped (a naive per-partition combine would
-    silently fold the loser copy and undercount)."""
+    with one copy: exact_counts=True must still count the duplicate
+    exactly once-dropped via the planning pass's distinct-lsn
+    aggregation (a per-partition count after the local collapse would
+    undercount — the loser copy is gone before any global view)."""
     rows = [
         # partition 0: dup copy of (d1, 5) + the key's winner (lsn 9)
         ("d1", [1, 2], 2, "s", "U", 5, 0),
@@ -223,7 +263,8 @@ def test_precombine_exact_dups_across_partitions(spark, tmproot):
     )
     table = LakeTable.create(spark, tmproot + "/xp", TOKENS_TABLE_COLUMNS,
                              key=TOKENS_MERGE_KEY, n_buckets=4)
-    runner = ReplayRunner(spark, table, source_df=df, precombine=True)
+    runner = ReplayRunner(spark, table, source_df=df, precombine=True,
+                          exact_counts=True)
     runner.run()
     lin = [l for l in table.lineage() if "n_upserts" in l]
     assert len(lin) == 1
