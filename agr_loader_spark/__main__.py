@@ -46,7 +46,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="async fold overlap: prefetch the next segment's "
                         "scan+shuffle (schema-aware) under the current fold. "
                         "Bare --pipeline == on; auto probes both regimes on "
-                        "the first four data segments and locks the faster "
+                        "early segments (ABBA around the excluded segment-0 "
+                        "table build) and locks the faster "
                         "(emitted as a pipeline_policy metrics record)")
     p.add_argument("--warmup", action="store_true",
                    help="run a small throwaway replay first so the timed run "
@@ -97,8 +98,14 @@ def main(argv: list[str] | None = None) -> int:
     metrics = runner.run(stop_after=args.stop_after)
     wall = time.monotonic() - t0
 
-    applied = [m for m in metrics if not m.get("skipped")]
-    skipped = len(metrics) - len(applied)
+    # count only source-op records: run() also appends engine-side records
+    # (pipeline_policy from --pipeline auto, compact from the delta sink)
+    # that are neither applied nor skippable segments — counting them would
+    # break segments_applied/skipped bookkeeping across re-runs
+    seg_metrics = [m for m in metrics
+                   if m.get("operation") not in ("pipeline_policy", "compact")]
+    applied = [m for m in seg_metrics if not m.get("skipped")]
+    skipped = len(seg_metrics) - len(applied)
     n_events = sum(m.get("n_events", 0) for m in applied)
     final = LakeTable.load(spark, table_root)
     state = final.read()

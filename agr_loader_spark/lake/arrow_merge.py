@@ -47,6 +47,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..operators.dedup import MIN_LSN_COL
+
 if TYPE_CHECKING:  # pragma: no cover
     from .table import ColumnSpec
 
@@ -149,7 +151,7 @@ def make_bucket_fold(
             # the runner sends approx (or exact_counts=True planning-pass)
             # counters through lineage and merge() omits/overrides this.
             # The per-bucket offset range IS still exact via __min_lsn.
-            b_min_lsn = int(pdf["__min_lsn"].min())
+            b_min_lsn = int(pdf[MIN_LSN_COL].min())
             b_max_lsn = int(pdf[lsn_col].max())
             n_dups = 0
         else:
@@ -279,7 +281,7 @@ def make_bucket_fold_arrow(
             # pass via lineage (approx, or exact with exact_counts=True;
             # see the pandas fold above); only the per-bucket offset
             # range is measured here
-            b_min_lsn = pc.min(t.column("__min_lsn")).as_py()
+            b_min_lsn = pc.min(t.column(MIN_LSN_COL)).as_py()
             b_max_lsn = pc.max(lsn_raw).as_py()
             pre_n_dups = 0
         else:

@@ -137,9 +137,12 @@ def dedup_exact(df: DataFrame, cols: Iterable[str] | None = None) -> DataFrame:
     return df.dropDuplicates(list(cols) if cols else None)
 
 
-#: counter columns emitted by :func:`precombine_lww`, consumed by the
-#: bucket folds (lake/arrow_merge.py) when the changeset is precombined
-PRECOMBINE_COLS = ("__min_lsn",)
+#: counter column emitted by :func:`precombine_lww`, consumed by the
+#: bucket folds (lake/arrow_merge.py) and stripped by the prefetch
+#: schema check (streaming/runner.py) — every consumer references these
+#: names, so adding a counter column is a one-line change here
+MIN_LSN_COL = "__min_lsn"
+PRECOMBINE_COLS = (MIN_LSN_COL,)
 
 
 def precombine_lww(
@@ -199,7 +202,7 @@ def precombine_lww(
 
     # NOTE: StructType.add mutates in place — never call it on df.schema
     out_schema = StructType(
-        list(df.schema.fields) + [StructField("__min_lsn", LongType())]
+        list(df.schema.fields) + [StructField(MIN_LSN_COL, LongType())]
     )
 
     def _combine(batches):
@@ -218,7 +221,7 @@ def precombine_lww(
         idx = g.idxmax().to_numpy()
         mins = g.min().to_numpy()
         win = t.take(pa.array(idx, pa.int64()))
-        win = win.append_column("__min_lsn", pa.array(mins, pa.int64()))
+        win = win.append_column(MIN_LSN_COL, pa.array(mins, pa.int64()))
         yield from win.to_batches()
 
     return df.mapInArrow(_combine, out_schema)

@@ -25,13 +25,21 @@ def _loopback_tcp_workaround() -> None:
     rto:120000 backoff:11 dsack_dups:3``), python worker stuck in
     tcp_sendmsg, JVM reader in epoll_wait. Switching to cubic made the
     identical workload complete reliably. Real clusters terminate these
-    streams on real NICs and tune CC fleet-wide; this guard only ever
-    rewrites the sysctl INSIDE this single-tenant sandbox VM, is a no-op
-    without root/procfs write access, and can be disabled with
-    SPARK_GRAFT_LOOPBACK_CC_FIX=0.
+    streams on real NICs and tune CC fleet-wide, and a fleet that chose
+    BBR on purpose must never have a library silently flip it — so the
+    guard is SCOPED IN CODE, not just in this docstring: it applies only
+    when the running kernel release matches the known-bad sandbox kernel
+    (6.18.5-fc*), unless explicitly forced with
+    SPARK_GRAFT_LOOPBACK_CC_FIX=1 (0 disables even in the sandbox). It
+    is a no-op without procfs write access either way.
     """
-    if os.environ.get("SPARK_GRAFT_LOOPBACK_CC_FIX", "1") == "0":
+    force = os.environ.get("SPARK_GRAFT_LOOPBACK_CC_FIX")
+    if force == "0":
         return
+    if force != "1":
+        import platform
+        if not platform.release().startswith("6.18.5-fc"):
+            return
     path = "/proc/sys/net/ipv4/tcp_congestion_control"
     try:
         with open(path) as f:

@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import OP_COL, LakeTable
-from ..operators.dedup import lww_reduce, lww_reduce_pandas, lww_reduce_salted
+from ..operators.dedup import (MIN_LSN_COL, lww_reduce, lww_reduce_pandas,
+                               lww_reduce_salted)
 from ..plans.merge import plan_changeset
 
 
@@ -56,7 +57,7 @@ class ReplayRunner:
         sink: str = "arrow",  # "arrow" (2-stage state-colocated COW) | "jvm" | "delta" (write-optimized MOR)
         precombine: bool | None = None,  # arrow sink only: map-LOCAL LWW combine (operators/dedup.py:precombine_lww, Arrow-vectorized mapInArrow — NOT a groupBy agg; see its docstring for why) collapses each map partition to one winner row per key BEFORE the bucket shuffle, cutting shuffled/folded payload bytes by the feed's update multiplicity (zipf: most event volume is LWW losers) with zero added exchanges and bounded per-task memory. Exact dedup counters move to the narrow planning pass (_plan). None (default) = on for the arrow sink, and bench.py re-verifies the claim every run with an uncombined probe rep rather than freezing it here (the r4 JVM-agg combine's "faster everywhere" claim was falsified by exactly such a probe; BENCH/BASELINE.md round-4 precombine section).
         exact_counts: bool = False,  # precombine mode only: the map-local combine erases re-delivery multiplicity before the fold, so exact n_upserts / n_duplicates_dropped need a two-level distinct-lsn aggregation in the planning pass — a full extra pass over the segment (~60 core-s per 34M events, measured round 4) paid for a metrics counter. Default OFF: lineage carries n_upserts_approx / n_duplicates_dropped_approx from approx_count_distinct folded into the same narrow planning agg (no extra shuffle, one expression), plus the fold-exact applied-upsert count as n_upserts. Turn on for audits where distinct-event counts must be exact. Uncombined runs always have exact counters — the fold measures them for free.
-        pipeline: bool | str = False,  # async fold overlap: prefetch the next segment's scan+shuffle (schema-aware) under the current fold. True/False, or "auto": measure both regimes on the first four data segments of THIS run and lock in the faster (the overlap win flips sign across hosts/topologies — r3 measured it +53% wall, the r4 host measured it faster; a frozen flag is wrong somewhere, so decide from live per-event rates instead)
+        pipeline: bool | str = False,  # async fold overlap: prefetch the next segment's scan+shuffle (schema-aware) under the current fold. True/False, or "auto": measure both regimes on THIS run's early segments (ABBA: sync on applied segments 1+4, one overlap cycle on 2+3, the empty-table segment 0 excluded) and lock in the faster (the overlap win flips sign across hosts/topologies — r3 measured it +53% wall, the r4 host measured it faster; a frozen flag is wrong somewhere, so decide from live per-event rates instead)
         compact_at_end: bool = True,  # delta sink only: collapse MOR deltas to base files after the last segment (inside run(), so measured walls are apples-to-apples with the COW sink)
     ):
         if (source_path is None) == (source_df is None):
@@ -422,15 +423,25 @@ class ReplayRunner:
         pool = cf.ThreadPoolExecutor(max_workers=1) if (
             self.pipeline and self.sink in ("arrow", "delta")
         ) else None
-        # pipeline="auto": segments 0-1 apply synchronously, segments 2-3
+        # pipeline="auto": probe both regimes on the replay's own early
+        # segments, then lock the faster. Probe design (ABBA, seg-0
+        # excluded): the FIRST applied data segment folds into an empty
+        # table and is structurally faster per event (no state read —
+        # tools/diag_seg0.py quantifies it), so it belongs to NEITHER
+        # bucket; segments 1 and 4 apply synchronously (A), segments 2-3
         # run one full overlap cycle (segment 2 pays the concurrent
-        # prefetch, segment 3 consumes it), then the per-event rates of
-        # the two regimes pick the mode for the rest of the replay. At
-        # production commit intervals (>=100M events/segment) the probe
-        # is a vanishing prefix; on short logs the decision barely
-        # matters. overlap_on: None = still probing.
-        auto = self.pipeline == "auto"
-        overlap_on: bool | None = None if auto else bool(self.pipeline)
+        # prefetch, segment 3 consumes it) (B). Bracketing sync around
+        # overlap cancels the monotone state-growth drift that a
+        # sync-first/overlap-second split would attribute to the regime.
+        # At production commit intervals (>=100M events/segment) the
+        # probe is a vanishing prefix; on short logs the decision barely
+        # matters. overlap_on: None = still probing. A sink with no
+        # prefetch pool (jvm) has nothing to probe: auto resolves off.
+        auto = self.pipeline == "auto" and pool is not None
+        if self.pipeline == "auto":
+            overlap_on: bool | None = None if pool is not None else False
+        else:
+            overlap_on = bool(self.pipeline)
         probe = {"sync": [0.0, 0], "overlap": [0.0, 0]}
         applied_data = 0
         try:
@@ -458,6 +469,11 @@ class ReplayRunner:
                         break
                 if op[0] == "data":
                     _, epoch, seg, lo, hi = op
+                    # timer starts BEFORE the prefetch join: if the
+                    # prefetched scan+shuffle outlasts the previous fold,
+                    # the residual fut.result() wait is real wall time the
+                    # overlap regime must be charged for in the probe
+                    _ta = time.monotonic()
                     fut = futures.pop((epoch, seg), None)
                     prepared = None
                     if fut is not None:
@@ -472,11 +488,10 @@ class ReplayRunner:
                         have = [c for c in prepared.columns
                                 if c not in (OP_COL, "event_lsn", "__pk")
                                 and not c.startswith("__bucket")
-                                and c != "__min_lsn"]
+                                and c != MIN_LSN_COL]
                         if have != want:
                             prepared.unpersist()
                             prepared = None
-                    _ta = time.monotonic()
                     m = self._apply_data_segment(
                         epoch, seg, lo, hi, stats.get((epoch, seg)), prepared
                     )
@@ -488,11 +503,15 @@ class ReplayRunner:
                 all_metrics.append(m)
                 if auto and _ta is not None and not m.get("skipped"):
                     if overlap_on is None:
-                        b = probe["sync" if applied_data < 2 else "overlap"]
-                        b[0] += _ta
-                        b[1] += int(m.get("n_events") or 0)
+                        slot = applied_data  # index of THIS applied segment
+                        b = (probe["sync"] if slot in (1, 4)
+                             else probe["overlap"] if slot in (2, 3)
+                             else None)  # slot 0: empty-table build, excluded
+                        if b is not None:
+                            b[0] += _ta
+                            b[1] += int(m.get("n_events") or 0)
                     applied_data += 1
-                    if overlap_on is None and applied_data >= 4:
+                    if overlap_on is None and applied_data >= 5:
                         (ts, es), (to, eo) = probe["sync"], probe["overlap"]
                         rate_s = es / ts if ts > 0 else 0.0
                         rate_o = eo / to if to > 0 else 0.0

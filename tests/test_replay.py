@@ -68,7 +68,7 @@ def test_replay_matches_oracle(spark, tmproot, binlog, oracle_df, sink, pipeline
     """pipeline=True exercises the schema-aware async prefetch: every
     prepared segment is planned under a SIMULATED future schema and must
     still produce the byte-identical final state. pipeline="auto" probes
-    both regimes on the first four data segments, locks the faster, and
+    both regimes on early segments (ABBA, segment 0 excluded), locks the faster, and
     must emit exactly one pipeline_policy record with the measured rates."""
     table = _fresh_table(spark, tmproot)
     runner = ReplayRunner(spark, table, source_path=binlog, sink=sink, pipeline=pipeline)

@@ -24,9 +24,17 @@ _BURN = (
 
 def _run_n(n: int) -> float:
     """Wall seconds for n concurrent burns (max of the n)."""
+    import os
+    # numpy may thread BLAS; pin to 1 thread per probe process for a clean
+    # test — via the CHILD env only. Mutating os.environ here would leak
+    # OMP_NUM_THREADS=1 into the caller (bench.py imports calibrate()) and
+    # from there into every Spark python worker, serializing pyarrow's
+    # parquet encode/decode in the very folds being benchmarked (pinning
+    # measured slower: see session.py's OMP note / BENCH/scaling_r3v2_ab).
+    env = dict(os.environ, OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1")
     t0 = time.monotonic()
     procs = [subprocess.Popen([sys.executable, "-c", _BURN],
-                              stdout=subprocess.PIPE) for _ in range(n)]
+                              stdout=subprocess.PIPE, env=env) for _ in range(n)]
     for p in procs:
         p.wait()
     return time.monotonic() - t0
@@ -34,9 +42,6 @@ def _run_n(n: int) -> float:
 
 def calibrate() -> dict:
     """One calibration sample as a dict (importable; main() prints it)."""
-    # numpy may thread BLAS; pin to 1 thread per process for a clean test
-    import os
-    os.environ["OPENBLAS_NUM_THREADS"] = os.environ["OMP_NUM_THREADS"] = "1"
     one = _run_n(1)
     four = _run_n(4)
     # perfect host: four == one (4 independent cores); ratio = one/four

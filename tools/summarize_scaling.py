@@ -15,7 +15,9 @@ def main(path: str) -> int:
     # verdict plus one `pair` record per accepted clean pair; the
     # protocol statistic there is the median of clean-pair efficiencies
     pairs = [r for r in rows if "pair" in r]
-    dirty = [r for r in rows if "clean" in r and not r["clean"]]
+    # v3 dirty PAIR records also carry clean:false — they are counted in
+    # dirty_pairs_discarded, not as discarded legs
+    dirty = [r for r in rows if "clean" in r and not r["clean"] and "pair" not in r]
     rows = [r for r in rows if "executors" in r and r.get("clean", True)
             and r.get("result")]
     by_exec: dict[int, list] = {}
