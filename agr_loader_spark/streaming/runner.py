@@ -516,10 +516,21 @@ class ReplayRunner:
                         rate_s = es / ts if ts > 0 else 0.0
                         rate_o = eo / to if to > 0 else 0.0
                         overlap_on = rate_o > rate_s
+                        # full probe inputs in the record so the decision
+                        # is auditable from _metrics.jsonl alone: which
+                        # applied segments fed which bucket (ABBA, slot 0
+                        # excluded), their summed walls and event counts
                         pol = {"operation": "pipeline_policy",
                                "overlap_on": overlap_on,
                                "rate_sync_eps": round(rate_s, 1),
-                               "rate_overlap_eps": round(rate_o, 1)}
+                               "rate_overlap_eps": round(rate_o, 1),
+                               "probe_slots": {"sync": [1, 4],
+                                               "overlap": [2, 3],
+                                               "excluded": [0]},
+                               "sync_wall_s": round(ts, 4),
+                               "sync_events": es,
+                               "overlap_wall_s": round(to, 4),
+                               "overlap_events": eo}
                         self._emit(pol)
                         all_metrics.append(pol)
                 if not m.get("skipped"):

@@ -78,6 +78,16 @@ def test_replay_matches_oracle(spark, tmproot, binlog, oracle_df, sink, pipeline
     if pipeline == "auto":
         assert len(pol) == 1 and isinstance(pol[0]["overlap_on"], bool)
         assert pol[0]["rate_sync_eps"] > 0 and pol[0]["rate_overlap_eps"] > 0
+        # the probe is auditable: ABBA slot map recorded, and each bucket
+        # sums exactly its two slots' events — in particular the excluded
+        # empty-table segment 0 feeds NEITHER bucket
+        assert pol[0]["probe_slots"] == {"sync": [1, 4], "overlap": [2, 3],
+                                         "excluded": [0]}
+        data = [m for m in metrics if "n_upserts" in m and not m.get("skipped")]
+        ev = [int(m["n_events"]) for m in data]
+        assert pol[0]["sync_events"] == ev[1] + ev[4]
+        assert pol[0]["overlap_events"] == ev[2] + ev[3]
+        assert pol[0]["sync_wall_s"] > 0 and pol[0]["overlap_wall_s"] > 0
     else:
         assert not pol
     # schema evolution happened mid-stream
