@@ -142,6 +142,85 @@ def q_cdc_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_batches(spark: SparkSession, sf_dir: str):
+    """The shared 3-micro-batch split of `events` used by the mode
+    snapshots: lsn-ordered thirds by event_id, op='D' on 'error'."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    hi = ev.agg(F.max("event_id")).first()[0] or 0
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    return [
+        ev.filter(F.col("event_id") <= cut1),
+        ev.filter((F.col("event_id") > cut1) & (F.col("event_id") <= cut2)),
+        ev.filter(F.col("event_id") > cut2),
+    ]
+
+
+_CDC_TABLE_COLS = [
+    ("user_id", "bigint", "user_id"), ("event_id", "bigint", "event_id"),
+    ("event_type", "string", "event_type"), ("value", "double", "value"),
+]
+
+
+def q_cdc_ifabsent_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 insert-if-absent (`MERGE ... ON CREATE SET`, the reference's
+    default upsert, src/etl/bgi_etl.py:99-115) exercised END-TO-END
+    through LakeTable.merge(mode='insert_if_absent'): 3 lsn-ordered
+    micro-batches, each LWW-reduced then committed. Per key the FIRST
+    writer after the most recent delete wins; deletes still delete.
+    Oracle replays the same fold in SQL (first 'U' batch after the last
+    'D' batch per key)."""
+    import tempfile
+
+    from agr_loader_spark.lake.table import LakeTable
+    from agr_loader_spark.operators.dedup import lww_reduce
+
+    root = tempfile.mkdtemp(prefix="ifabsent_snapshot_")
+    t = LakeTable.create(spark, root + "/t", _CDC_TABLE_COLS, key="user_id", n_buckets=8)
+    for i, b in enumerate(_cdc_batches(spark, sf_dir)):
+        one = lww_reduce(
+            b.select("user_id", "event_id", "event_type", "value", "__op"),
+            key="user_id", order_col="event_id",
+        )
+        t.merge(one, epoch_key=f"{i}:0", mode="insert_if_absent")
+    return t.read().select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("event_type").alias("first_event_type"),
+        F.round("value", 6).alias("first_value"),
+    )
+
+
+def q_cdc_update_only_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 matched-only patch (`MATCH (e {primaryKey}) SET ...`,
+    src/etl/ecomap_etl.py:22-30) exercised END-TO-END: batch 0 seeds the
+    table via the default LWW merge, batches 1-2 apply with
+    mode='update_only' — source rows whose key is absent are dropped,
+    not inserted; matched 'U' patches, matched 'D' deletes. Oracle
+    replays the fold in SQL (seeded in batch 0, never deleted later,
+    payload from the key's last touching batch)."""
+    import tempfile
+
+    from agr_loader_spark.lake.table import LakeTable
+    from agr_loader_spark.operators.dedup import lww_reduce
+
+    root = tempfile.mkdtemp(prefix="updonly_snapshot_")
+    t = LakeTable.create(spark, root + "/t", _CDC_TABLE_COLS, key="user_id", n_buckets=8)
+    for i, b in enumerate(_cdc_batches(spark, sf_dir)):
+        one = lww_reduce(
+            b.select("user_id", "event_id", "event_type", "value", "__op"),
+            key="user_id", order_col="event_id",
+        )
+        t.merge(one, epoch_key=f"{i}:0", mode="lww" if i == 0 else "update_only")
+    return t.read().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return (
@@ -741,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_snapshot": q_cdc_lww_snapshot,
         "cdc_precombine_snapshot": q_cdc_precombine_snapshot,
         "cdc_mor_snapshot": q_cdc_mor_snapshot,
+        "cdc_ifabsent_snapshot": q_cdc_ifabsent_snapshot,
+        "cdc_update_only_snapshot": q_cdc_update_only_snapshot,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "order_priority": q_order_priority,
@@ -802,6 +883,54 @@ def oracle_sql() -> dict[str, str]:
     # identical oracle again: map-side combine + COW fold must compose
     # to the same snapshot as the plain LWW fold
     sql["cdc_precombine_snapshot"] = sql["cdc_lww_snapshot"]
+    # shared batch split for the mode snapshots: thirds by event_id
+    # (hi//3, 2*hi//3 — match the Python integer cuts exactly), batch
+    # winner = max event_id within (user, batch)
+    _cdc_pb = """
+        WITH hi AS (SELECT max(event_id) AS h FROM events),
+        ev AS (
+            SELECT e.user_id, e.event_id, e.event_type, e.value,
+                   CASE WHEN e.event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   CASE WHEN e.event_id <= h // 3 THEN 0
+                        WHEN e.event_id <= (2 * h) // 3 THEN 1
+                        ELSE 2 END AS b
+            FROM events e, hi),
+        pb AS (
+            SELECT * FROM (
+                SELECT user_id, b, event_id, event_type, value, op,
+                       row_number() OVER (PARTITION BY user_id, b
+                                          ORDER BY event_id DESC) AS rn
+                FROM ev) WHERE rn = 1)
+    """
+    sql["cdc_ifabsent_snapshot"] = _cdc_pb + """
+        , lastdel AS (
+            SELECT user_id, max(b) AS bd FROM pb WHERE op = 'D' GROUP BY user_id),
+        winner AS (
+            SELECT p.user_id, p.b, p.event_id, p.event_type, p.value,
+                   row_number() OVER (PARTITION BY p.user_id ORDER BY p.b) AS wn
+            FROM pb p LEFT JOIN lastdel d USING (user_id)
+            WHERE p.op = 'U' AND (d.bd IS NULL OR p.b > d.bd))
+        SELECT user_id, event_id AS first_event_id,
+               event_type AS first_event_type,
+               round(value, 6) AS first_value
+        FROM winner WHERE wn = 1
+    """
+    sql["cdc_update_only_snapshot"] = _cdc_pb + """
+        , flags AS (
+            SELECT user_id,
+                   bool_or(b = 0 AND op = 'U') AS seeded,
+                   bool_or(b > 0 AND op = 'D') AS deleted_later
+            FROM pb GROUP BY user_id),
+        surv AS (
+            SELECT p.user_id, p.event_id, p.event_type, p.value,
+                   row_number() OVER (PARTITION BY p.user_id ORDER BY p.b DESC) AS rn2
+            FROM pb p JOIN flags f USING (user_id)
+            WHERE f.seeded AND NOT f.deleted_later)
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_event_type,
+               round(value, 6) AS last_value
+        FROM surv WHERE rn2 = 1
+    """
     sql["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
