@@ -478,17 +478,25 @@ class LakeTable:
     ROWS_PER_FOLD_TASK = 600_000
 
     def fold_partitions(self, n_touched: int, n_rows: int | None = None) -> int:
-        """Fold task granularity: enough partitions to balance bucket-size
-        variance across the cluster (wave_mult x cores; default 4) AND to
-        keep per-task rows under ROWS_PER_FOLD_TASK (spill-aware), but
-        never more than the touched-bucket count (each extra task is an
-        Arrow round-trip). With the balanced bucket->partition placement
-        a smaller wave_mult trades straggler insurance for fewer Arrow
-        round-trips — env-tunable for measurement."""
+        """Fold task granularity: one wave of cores (wave_mult x cores;
+        default 1) bumped so per-task rows stay under ROWS_PER_FOLD_TASK
+        (spill-aware), but never more than the touched-bucket count (each
+        extra task is an Arrow round-trip). Default 1: with the BALANCED
+        bucket->partition placement below every partition carries an
+        equal bucket count, so the straggler insurance extra waves used
+        to buy is gone while their per-task fixed cost (python worker
+        round-trip + a parquet open/write per task) remains — measured
+        interleaved at local[32]/64 buckets/4M events: wave_mult 1 walls
+        [17.3, 16.6, 14.6] vs wave_mult 4 [20.4, 18.4, 17.5], a ~10% win,
+        3/3 adjacent pairs (BENCH/BASELINE.md round-4 fold-wave note).
+        bench.py re-verifies with a wave_mult=4 probe rep every run.
+        Hot-BUCKET skew (not hot keys — those hash-spread) is the case
+        extra waves still help; env-tunable for that and for
+        measurement."""
         import os
 
         cores = self.spark.sparkContext.defaultParallelism
-        want = int(os.environ.get("SPARK_FOLD_WAVE_MULT", "4")) * cores
+        want = int(os.environ.get("SPARK_FOLD_WAVE_MULT", "1")) * cores
         if n_rows:
             want = max(want, -(-int(n_rows) // self.ROWS_PER_FOLD_TASK))
         return max(1, min(n_touched, want))
