@@ -205,6 +205,21 @@ class LakeTable:
         out.extend(by_sid[s] for s in order)
         return out
 
+    def completed_epochs(self) -> set[int]:
+        """Epochs whose FINAL segment committed — the replay runner stamps
+        ``epoch_final`` into the last data segment's lineage row, and its
+        resume fast path prunes these epochs from the planning scan (the
+        binlog's epoch partitions are immutable once fully applied)."""
+        out: set[int] = set()
+        for r in self.lineage():
+            k = r.get("epoch_key")
+            if r.get("epoch_final") and k:
+                try:
+                    out.add(int(str(k).split(":", 1)[0]))
+                except ValueError:
+                    pass
+        return out
+
     def _lineage_rows(self) -> list[dict]:
         """Raw parsed side-log rows, cached per (mtime_ns, size): a caller
         looping snapshot_for_epoch over thousands of epochs would

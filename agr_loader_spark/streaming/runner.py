@@ -59,6 +59,7 @@ class ReplayRunner:
         exact_counts: bool = False,  # precombine mode only: the map-local combine erases re-delivery multiplicity before the fold, so exact n_upserts / n_duplicates_dropped need a two-level distinct-lsn aggregation in the planning pass — a full extra pass over the segment (~60 core-s per 34M events, measured round 4) paid for a metrics counter. Default OFF: lineage carries n_upserts_approx / n_duplicates_dropped_approx from approx_count_distinct folded into the same narrow planning agg (no extra shuffle, one expression), plus the fold-exact applied-upsert count as n_upserts. Turn on for audits where distinct-event counts must be exact. Uncombined runs always have exact counters — the fold measures them for free.
         pipeline: bool | str = False,  # async fold overlap: prefetch the next segment's scan+shuffle (schema-aware) under the current fold. True/False, or "auto": measure both regimes on THIS run's early segments (ABBA: sync on applied segments 1+4, one overlap cycle on 2+3, the empty-table segment 0 excluded) and lock in the faster (the overlap win flips sign across hosts/topologies — r3 measured it +53% wall, the r4 host measured it faster; a frozen flag is wrong somewhere, so decide from live per-event rates instead)
         compact_at_end: bool = True,  # delta sink only: collapse MOR deltas to base files after the last segment (inside run(), so measured walls are apples-to-apples with the COW sink)
+        prune_applied: bool = True,  # resume: skip fully-applied epochs BEFORE the planning scan (via the epoch_final lineage stamp), so resuming a 10^10-event replay near its end re-scans only the tail, not the whole log. Relies on the binlog invariant that an epoch partition is immutable once its final segment committed (events are lsn-total-ordered, so appending to an already-applied epoch would be out-of-order anyway). Set False for a source that violates it.
     ):
         if (source_path is None) == (source_df is None):
             raise ValueError("exactly one of source_path / source_df")
@@ -82,6 +83,7 @@ class ReplayRunner:
         self.precombine = precombine
         self.exact_counts = bool(exact_counts)
         self.compact_at_end = compact_at_end
+        self.prune_applied = bool(prune_applied)
 
     # ------------------------------------------------------------------ source
     def _events(self) -> DataFrame:
@@ -98,6 +100,21 @@ class ReplayRunner:
         return self._source_rel
 
     def list_epochs(self) -> list[int]:
+        # fs fast path: for an epoch-partitioned parquet path the epoch
+        # set is the partition directory names — O(epochs) listing, no
+        # Spark job over the log's row count (a `select distinct` on a
+        # partition column still generates every row in codegen)
+        if self.source_path is not None:
+            try:
+                eps = sorted(
+                    int(n.split("=", 1)[1])
+                    for n in os.listdir(self.source_path)
+                    if n.startswith("epoch=")
+                )
+                if eps:
+                    return eps
+            except (OSError, ValueError):
+                pass  # non-local fs or unexpected layout: fall through
         return [
             r["epoch"]
             for r in self._events().select("epoch").distinct().orderBy("epoch").collect()
@@ -408,6 +425,40 @@ class ReplayRunner:
         precomputed :meth:`plan` result (static-log stepping only)."""
         import concurrent.futures as cf
 
+        pruned_records: list[dict] = []
+        if plan is None and epochs is None and self.prune_applied:
+            # resume fast path: epochs whose FINAL segment committed (the
+            # epoch_final lineage stamp below) need no re-plan — synthesize
+            # their per-segment skip records from lineage and scan only the
+            # remaining epochs. Turns resume/no-op cost from O(log) into
+            # O(remaining) + O(commit history).
+            done = self.table.completed_epochs()
+            if done:
+                avail = self.list_epochs()
+                keep = [e for e in avail if e not in done]
+                if len(keep) < len(avail):
+                    in_log = set(avail)
+                    seen: set[str] = set()
+                    for r in self.table.lineage():
+                        k = r.get("epoch_key")
+                        if not k or k in seen:
+                            continue
+                        seen.add(k)
+                        try:
+                            e = int(str(k).split(":", 1)[0])
+                        except ValueError:
+                            continue
+                        if e in done and e in in_log:
+                            pruned_records.append(
+                                {"epoch_key": k, "skipped": True, "pruned": True}
+                            )
+                    self._emit({"operation": "plan_prune",
+                                "epochs_pruned": len(avail) - len(keep),
+                                "segments_pruned": len(pruned_records)})
+                    if not keep:
+                        return pruned_records
+                    epochs = keep
+
         if plan is not None:
             all_epochs, bounds_by_epoch, stats = plan
         else:
@@ -417,7 +468,13 @@ class ReplayRunner:
             # one-time planning pass costs — read by the scaling decomposition
             self._emit({"operation": "plan", "seconds": round(time.monotonic() - _tp, 4)})
         ops = self._op_list(all_epochs, bounds_by_epoch)
-        all_metrics: list[dict] = []
+        # last data segment per epoch: its commit stamps epoch_final into
+        # lineage, which is what completed_epochs() above keys on
+        last_data_seg: dict[int, int] = {}
+        for _op in ops:
+            if _op[0] == "data":
+                last_data_seg[_op[1]] = _op[2]
+        all_metrics: list[dict] = pruned_records
         committed = 0
         futures: dict[tuple[int, int], cf.Future] = {}
         pool = cf.ThreadPoolExecutor(max_workers=1) if (
@@ -493,7 +550,8 @@ class ReplayRunner:
                             prepared.unpersist()
                             prepared = None
                     m = self._apply_data_segment(
-                        epoch, seg, lo, hi, stats.get((epoch, seg)), prepared
+                        epoch, seg, lo, hi, stats.get((epoch, seg)), prepared,
+                        epoch_final=(last_data_seg.get(epoch) == seg),
                     )
                     _ta = time.monotonic() - _ta
                 else:
@@ -562,7 +620,8 @@ class ReplayRunner:
                 pool.shutdown(wait=False)
 
     def _apply_data_segment(self, epoch: int, seg: int, lo, hi, stats,
-                            prepared: DataFrame | None = None) -> dict:
+                            prepared: DataFrame | None = None,
+                            epoch_final: bool = False) -> dict:
         epoch_key = f"{epoch}:{seg}"
         t0 = time.monotonic()
         if epoch_key in self.table.applied_epochs():
@@ -575,6 +634,11 @@ class ReplayRunner:
             "max_lsn": int(stats["max_lsn"]) if stats is not None else None,
             "n_events": n_events,
         }
+        if epoch_final:
+            # marks the epoch fully applied — the resume fast path
+            # (run()'s plan_prune) keys on this to skip the epoch's
+            # partition in the next planning scan
+            lineage["epoch_final"] = True
         if self.precombine and stats is not None and \
                 stats.get("n_unique_u") is not None:
             # the local combine erased re-delivery multiplicity before the

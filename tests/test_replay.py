@@ -134,6 +134,42 @@ def test_resume_from_checkpoint_mid_stream(spark, tmproot, binlog, oracle_df):
     assert LakeTable.load(spark, table.root).snapshot_id == snap
 
 
+def test_resume_prunes_applied_epochs(spark, tmproot, binlog, oracle_df):
+    """The resume fast path: epochs whose final segment committed carry
+    an epoch_final lineage stamp, and a re-run prunes them BEFORE the
+    planning scan — resuming a 10^10-event replay near its end must not
+    re-scan the whole log. Same observable semantics as the slow path:
+    one skip record per applied segment, state and snapshot untouched."""
+    table = _fresh_table(spark, tmproot)
+    m0 = ReplayRunner(spark, table, source_path=binlog).run()
+    n_committed = sum(1 for m in m0 if not m.get("skipped"))
+    # full re-run: every epoch complete -> no planning scan at all
+    t2 = LakeTable.load(spark, table.root)
+    snap = t2.snapshot_id
+    m = ReplayRunner(spark, t2, source_path=binlog).run()
+    assert m and all(x.get("skipped") for x in m)
+    assert all(x.get("pruned") for x in m)  # every record from the prune path
+    assert len(m) == n_committed  # one synthesized skip per applied segment
+    assert LakeTable.load(spark, table.root).snapshot_id == snap
+    _assert_state_equals_oracle(LakeTable.load(spark, table.root), oracle_df)
+    # escape hatch: prune_applied=False walks the slow path, same answer
+    m2 = ReplayRunner(spark, LakeTable.load(spark, table.root),
+                      source_path=binlog, prune_applied=False).run()
+    assert all(x.get("skipped") for x in m2)
+    assert not any(x.get("pruned") for x in m2)
+    assert LakeTable.load(spark, table.root).snapshot_id == snap
+    # partial resume: crash mid-replay, re-run prunes only complete epochs
+    # and still converges to the oracle
+    t3root = tmproot + "/tokens_prune_partial"
+    t3 = LakeTable.create(spark, t3root, TOKENS_TABLE_COLUMNS,
+                          key=TOKENS_MERGE_KEY, n_buckets=16)
+    ReplayRunner(spark, t3, source_path=binlog).run(stop_after=4)
+    m3 = ReplayRunner(spark, LakeTable.load(spark, t3root),
+                      source_path=binlog).run()
+    assert sum(1 for x in m3 if not x.get("skipped")) >= 1  # tail applied
+    _assert_state_equals_oracle(LakeTable.load(spark, t3root), oracle_df)
+
+
 def test_stepped_replay_with_precomputed_plan(spark, tmproot, binlog, oracle_df):
     """The scaling-v3 worker shape: plan once on a static log, then step
     through it one commit at a time with run(stop_after=1, plan=plan).
