@@ -386,7 +386,11 @@ def main() -> int:
         if not args.skip_calibration:
             cal = calibrate()
             if cal is None or not cal.get("quiet"):
-                sys.stderr.write(f"attempt {attempt}: calibration gate closed\n")
+                # Timestamp + failing values: round-3/4 storms showed that
+                # un-timestamped closures make the chronicle unreconstructable.
+                ts = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())
+                sys.stderr.write(
+                    f"{ts} attempt {attempt}: calibration gate closed {cal}\n")
                 time.sleep(120)
                 continue
             emit({"attempt": attempt, "calibration": cal})
