@@ -186,7 +186,7 @@ def worker(e: int, log: str, table_path: str, ctl: str) -> int:
 
 # ---------------------------------------------------------------- parent
 def run_pair(rep: int, log_name: str, out_emit, segdir: str,
-             step_timeout: float) -> dict | None:
+             step_timeout: float, attempt: int = 0) -> dict | None:
     base, local = STORAGE["disk"], LOCALDIR["disk"]
     log = os.path.join(base, log_name)
     ctl = os.path.join(base, f"v3ctl_{rep}")
@@ -280,7 +280,7 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
             if rec.get("finished"):
                 finished[e] = True
             else:
-                rec.update(step=s, executors=e, rep=rep)
+                rec.update(step=s, executors=e, rep=rep, attempt=attempt)
                 steps.append(rec)
                 out_emit(rec)
         if aborted:
@@ -298,17 +298,22 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
                 p.wait(timeout=120)
             except subprocess.TimeoutExpired:
                 aborted = "worker did not exit"
-    # segmetrics archive
+    # segmetrics archive, keyed by attempt as well as rep: dirty/failed
+    # pairs retry with the SAME rep number, so a rep-only filename was
+    # silently overwritten by the next attempt and the excluded pair's
+    # evidence vanished (round-4 ADVICE finding; the v3.4 dirty pair-1
+    # archives were clobbered exactly this way)
     os.makedirs(segdir, exist_ok=True)
     for e in (1, 4):
         seg = os.path.join(tables[e], "_metrics.jsonl")
         if os.path.exists(seg):
-            shutil.copy(seg, os.path.join(segdir, f"rep{rep}_{e}exec.jsonl"))
+            shutil.copy(seg, os.path.join(
+                segdir, f"rep{rep}_att{attempt}_{e}exec.jsonl"))
     kill_all()
     for t in tables.values():
         shutil.rmtree(t, ignore_errors=True)
     if aborted:
-        out_emit({"rep": rep, "aborted": aborted})
+        out_emit({"rep": rep, "attempt": attempt, "aborted": aborted})
         sys.stderr.write(f"rep {rep} ABORTED: {aborted}\n")
         return None
 
@@ -343,7 +348,7 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
     seg_eff = {k: round(v[1] / (4 * v[4]), 3)
                for k, v in per_seg.items() if 1 in v and 4 in v}
     pair = {
-        "pair": rep, "protocol": "v3.1-interleaved",
+        "pair": rep, "attempt": attempt, "protocol": "v3.1-interleaved",
         "t1_data_s": round(t1, 2), "t4_data_s": round(t4, 2),
         "events": n1, "efficiency": round(eff, 3) if eff else None,
         "per_segment_eff": seg_eff,
@@ -377,6 +382,11 @@ def main() -> int:
     out = os.path.join(REPO, args.out)
 
     def emit(rec):
+        # every record carries a UTC wall timestamp: the round-4 v3.4 file
+        # held an attempt-numbered record from an EARLIER supervisor launch
+        # (numbering restarts per launch) that was unresolvable precisely
+        # because records were untimestamped (round-4 ADVICE finding)
+        rec = dict(rec, ts=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
         with open(out, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
@@ -395,11 +405,12 @@ def main() -> int:
                 continue
             emit({"attempt": attempt, "calibration": cal})
         pair = run_pair(got + 1, args.log, emit, os.path.join(REPO, args.segdir),
-                        args.step_timeout)
+                        args.step_timeout, attempt=attempt)
         if pair is not None and pair["clean"]:
             got += 1
         elif pair is not None:
-            sys.stderr.write(f"attempt {attempt}: pair dirty, retrying\n")
+            ts = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())
+            sys.stderr.write(f"{ts} attempt {attempt}: pair dirty, retrying\n")
     sys.stderr.write(f"DONE: {got} clean v3 pairs\n")
     return 0 if got >= args.pairs else 1
 
