@@ -8,8 +8,21 @@
   (events/sec, generated in-session, warmed, arrow sink) reported both
   as a timed "query" and as `replay_events_per_sec`.
 
+Storm-proofing (round 5; the round-4 driver artifact was taken inside a
+host memory-bandwidth storm and its tail-parse failed):
+- the run opens behind the same calibration gate the scaling campaigns
+  use — if the host is not quiet it waits (bounded retries) before
+  measuring, and if the gate never opens it still runs but marks the
+  artifact ``"valid": false`` with the reason;
+- the CLOSING calibration decides validity too: a dirty close means the
+  host got noisy mid-run and the walls are untrustworthy — bounded
+  whole-run retries, then ``valid: false`` rather than silent numbers;
+- the summary JSON is additionally written ATOMICALLY to a file
+  ($BENCH_OUT, default BENCH/bench_last.json), so a truncated/interleaved
+  stdout can never again leave the round without a parseable artifact.
+
 Scaling evidence (N vs 4N executors) lives in BENCH/BASELINE.md and is
-produced by tools/run_scaling_bench.sh (too slow for per-round runs).
+produced by tools/run_scaling_v3.py (too slow for per-round runs).
 """
 
 from __future__ import annotations
@@ -40,33 +53,30 @@ HEADLINE = [
 # Interval sensitivity is documented in BENCH/BASELINE.md.
 REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "4000000"))
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))
+# opening-gate patience: retries x 120 s. 0 disables the wait (measure
+# immediately, validity still judged by the calibrations).
+CAL_RETRIES = int(os.environ.get("BENCH_CAL_RETRIES", "5"))
+# whole-run retries when the CLOSING calibration comes back dirty
+MAX_ATTEMPTS = int(os.environ.get("BENCH_MAX_ATTEMPTS", "2"))
+OUT_FILE = os.environ.get(
+    "BENCH_OUT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH",
+                 "bench_last.json"),
+)
 
 
-def main() -> int:
+def _measure(spark, sf_dir: str) -> dict:
+    """One full measured pass (headline queries + CDC replay). Pure
+    measurement — calibration gating happens in main()."""
     import __spark_entry__ as entrymod
     from agr_loader_spark.generator import generate_binlog
     from agr_loader_spark.lake.table import LakeTable
     from agr_loader_spark.schema import TOKENS_MERGE_KEY, TOKENS_TABLE_COLUMNS
-    from agr_loader_spark.session import get_spark
     from agr_loader_spark.streaming.runner import ReplayRunner
-
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    # host-noise calibration BEFORE the run (and again after): BENCH_r03
-    # was contaminated by a 5-hour hypervisor bandwidth storm with no
-    # in-artifact record of it. quiet=false means walls are inflated and
-    # round-over-round comparison needs the calibration context.
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from host_calibrate import calibrate
-    cal_before = calibrate()
-
-    spark = get_spark("bench", cores=cores)
-    spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
+
     def run_once(name: str) -> None:
         # build + execute: some operators (closure fixpoint) do eager work
         # at construction, so both phases belong inside the timing
@@ -97,14 +107,12 @@ def main() -> int:
                         seed=42).write.partitionBy("epoch").parquet(binlog)
         # warmup pass: replay the ACTUAL bench binlog once, untimed — same
         # convention as the headline queries (run_once(name) warm with the
-        # identical workload). The previous warmup replayed a different
-        # 300k-event log, so timed rep 1 still paid the 4M binlog's cold
-        # page-cache read + the full-shape codegen (measured: rep 1 ~23.7s
-        # vs reps 2-3 ~17.5-18.4s vs last-run probe 15.9s in
-        # BENCH/bench_r4_clean.json).
+        # identical workload); a different warmup log left timed rep 1
+        # paying the cold page-cache read (measured in bench_r4_clean.json).
         wt = LakeTable.create(spark, os.path.join(work, "warm"), TOKENS_TABLE_COLUMNS,
                               key=TOKENS_MERGE_KEY, n_buckets=64)
         ReplayRunner(spark, wt, source_path=binlog).run()
+
         def replay_rep(rep_name: str, pipeline: bool,
                        precombine: bool | None = None,
                        wave_mult: str | None = None) -> tuple[float, int]:
@@ -126,27 +134,37 @@ def main() -> int:
                 if wave_mult is not None:
                     os.environ.pop("SPARK_FOLD_WAVE_MULT", None)
 
-        # pipeline=False is the measured default: the r3 bench shipped
-        # pipeline=True on a stale "~18% faster" measurement that the r3
-        # verdict falsified live (37.0s on vs 24.2s off, same host/log).
-        # The claim is RE-VERIFIED every run below instead of being
-        # frozen in a comment: one extra pipeline=True rep is recorded as
-        # a probe, and the output flags the default as suboptimal if the
-        # probe beats the median — never silently trusted again.
-        # the same re-verify pattern covers the r4 precombine default
-        # (map-side LWW combine, on by default for the arrow sink): one
-        # uncombined probe rep per run, flagged below if it wins.
+        # Default-config reps INTERLEAVED with the probe reps. The probes
+        # re-verify the shipped defaults every run instead of freezing a
+        # stale measurement (the r3 pipeline flag and the r4 JVM-agg
+        # precombine were both falsified by exactly such probes). Round-4
+        # ran all probes LAST (warmest JVM), which the artifact index
+        # itself flagged as <=~20% order bias; the schedule below
+        # alternates default/probe so each probe rep sits between two
+        # default reps and a probe win is position-matched, not
+        # warmth-advantaged.
         replay_reps, n_events = [], 0
-        for rep in range(N_REPS):
-            wall, n_events = replay_rep(f"tokens{rep}", pipeline=False)
-            replay_reps.append(wall)
-        pipeline_probe, _ = replay_rep("tokens_pipe", pipeline=True)
-        precombine_probe, _ = replay_rep("tokens_nopc", pipeline=False,
-                                         precombine=False)
-        # …and the r4 fold-wave default (wave_mult 1, one balanced fold
-        # wave): one wave_mult=4 probe rep, flagged below if it wins.
-        wave4_probe, _ = replay_rep("tokens_w4", pipeline=False,
-                                    wave_mult="4")
+        probes: dict[str, float] = {}
+        schedule = []
+        probe_defs = [
+            ("pipeline", dict(pipeline=True)),
+            ("nopc", dict(pipeline=False, precombine=False)),
+            ("wave4", dict(pipeline=False, wave_mult="4")),
+        ]
+        for i in range(max(N_REPS, len(probe_defs))):
+            schedule.append(("default", None))
+            if i < len(probe_defs):
+                schedule.append(probe_defs[i])
+        di = 0
+        for kind, kwargs in schedule:
+            if kind == "default":
+                if di >= N_REPS:
+                    continue
+                wall, n_events = replay_rep(f"tokens{di}", pipeline=False)
+                replay_reps.append(wall)
+                di += 1
+            else:
+                probes[kind], _ = replay_rep(f"tokens_{kind}", **kwargs)
         reps_out["cdc_replay"] = replay_reps
         wall = statistics.median(replay_reps)
         times["cdc_replay"] = wall
@@ -154,26 +172,90 @@ def main() -> int:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    spark.stop()  # quiesce the JVM before the closing calibration sample
-    cal_after = calibrate()
-    out = {
+    return {
         "metric": "headline query wall + CDC replay throughput",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "query_reps": reps_out,
-        "sf": sf,
         "replay_events": n_events,
         "replay_events_per_sec": replay_eps,
-        "replay_pipeline_probe_sec": pipeline_probe,
-        "replay_pipeline_default_suboptimal": bool(pipeline_probe < wall),
-        "replay_nopc_probe_sec": precombine_probe,
-        "replay_precombine_default_suboptimal": bool(precombine_probe < wall),
-        "replay_wave4_probe_sec": wave4_probe,
-        "replay_foldwave_default_suboptimal": bool(wave4_probe < wall),
-        "calibration": {"before": cal_before, "after": cal_after},
-        "cores": cores,
+        "replay_pipeline_probe_sec": probes["pipeline"],
+        "replay_pipeline_default_suboptimal": bool(probes["pipeline"] < wall),
+        "replay_nopc_probe_sec": probes["nopc"],
+        "replay_precombine_default_suboptimal": bool(probes["nopc"] < wall),
+        "replay_wave4_probe_sec": probes["wave4"],
+        "replay_foldwave_default_suboptimal": bool(probes["wave4"] < wall),
+        "order_bias_controlled": True,
     }
+
+
+def main() -> int:
+    from agr_loader_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from host_calibrate import calibrate
+
+    cal_log: list[dict] = []
+    out = None
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        # opening gate: wait (bounded) for a quiet host; never measure
+        # into a known storm. A closed gate consumes no measurement.
+        cal_before = calibrate()
+        waits = 0
+        while not (cal_before or {}).get("quiet") and waits < CAL_RETRIES:
+            ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            sys.stderr.write(f"{ts} bench attempt {attempt}: opening "
+                             f"calibration gate closed {cal_before}\n")
+            cal_log.append({"attempt": attempt, "phase": "open-wait",
+                            "calibration": cal_before, "ts": ts})
+            time.sleep(120)
+            waits += 1
+            cal_before = calibrate()
+        gate_opened = bool((cal_before or {}).get("quiet"))
+
+        spark = get_spark("bench", cores=cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            measured = _measure(spark, sf_dir)
+        finally:
+            spark.stop()  # quiesce the JVM before the closing sample
+        cal_after = calibrate()
+        closed_quiet = bool((cal_after or {}).get("quiet"))
+
+        out = dict(
+            measured,
+            sf=sf,
+            cores=cores,
+            calibration={"before": cal_before, "after": cal_after},
+            calibration_waits=cal_log,
+            attempt=attempt,
+            valid=bool(gate_opened and closed_quiet),
+        )
+        if not gate_opened:
+            out["invalid_reason"] = "opening calibration never went quiet"
+        elif not closed_quiet:
+            out["invalid_reason"] = "host went noisy mid-run (closing " \
+                                    "calibration dirty)"
+        if out["valid"] or attempt == MAX_ATTEMPTS:
+            break
+        ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        sys.stderr.write(f"{ts} bench attempt {attempt}: "
+                         f"{out['invalid_reason']}; retrying\n")
+
+    # atomic file write FIRST (the durable artifact), stdout line second
+    # (the driver contract). A truncated stdout can no longer lose the run.
+    os.makedirs(os.path.dirname(OUT_FILE), exist_ok=True)
+    tmp = OUT_FILE + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(out) + "\n")
+    os.replace(tmp, OUT_FILE)
+    out["out_file"] = OUT_FILE
     print(json.dumps(out))
     return 0
 

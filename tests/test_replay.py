@@ -365,3 +365,66 @@ def test_metrics_df_is_queryable(spark, tmproot, binlog, oracle_df):
         F.sum("n_events").alias("n"), F.count("*").alias("segs")
     ).collect()[0]
     assert agg["n"] > 0 and agg["segs"] >= 3
+
+
+def test_empty_segment_noops_with_zero_jobs_in_fast_plan(spark, tmproot):
+    """An EMPTY data segment (two consecutive schema events with no data
+    between their lsns) must commit as a merge-noop with ZERO Spark jobs
+    under the default fast planning mode (r4 verdict item 6): the narrow
+    (epoch, lsn, op) planning scan already knows n_rows==0 — no stats
+    group forms — so the runner hands merge an empty touched set and the
+    noop short-circuit fires before any fold task is scheduled."""
+    from agr_loader_spark.schema import SCHEMA_CHANGE_TYPE
+
+    sc_widen = {"kind": "widen", "column": "n_tok", "new_name": None,
+                "new_type": "bigint", "src_field": None}
+    sc_rename = {"kind": "rename", "column": "source", "new_name": "origin",
+                 "new_type": None, "src_field": None}
+    rows = [
+        # segment 0: two data events
+        ("d1", [1, 2], 2, "s", "U", 1, None),
+        ("d2", [3], 1, "s", "U", 2, None),
+        # segment 1: schema commit (widen); segment 2 (lsn 10..20): EMPTY
+        (None, None, None, None, "S", 10, sc_widen),
+        # segment 3: schema commit (rename); segment 4: one data event
+        (None, None, None, None, "S", 20, sc_rename),
+        ("d3", [4, 5], 2, "s", "U", 25, None),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, event_lsn long",
+    ).withColumn("epoch", F.lit(0))
+    # zip the schema_change column on by lsn (createDataFrame over mixed
+    # None/dict struct rows is fiddly; a join on lsn is deterministic)
+    sc_rows = [(r[5], r[6]) for r in rows if r[6] is not None]
+    sc_df = spark.createDataFrame(
+        sc_rows,
+        "event_lsn long, schema_change struct<kind:string,column:string,"
+        "new_name:string,new_type:string,src_field:string>",
+    )
+    df = df.join(sc_df, "event_lsn", "left").select(
+        "doc_id", "tokens", "n_tok", "source", "op", "event_lsn", "epoch",
+        F.col("schema_change").cast(SCHEMA_CHANGE_TYPE).alias("schema_change"),
+    )
+
+    table = LakeTable.create(spark, tmproot + "/noopfast", TOKENS_TABLE_COLUMNS,
+                             key=TOKENS_MERGE_KEY, n_buckets=8)
+    runner = ReplayRunner(spark, table, source_df=df)
+    plan = runner.plan()
+    # commit through the first schema event (seg 0 data + seg 1 schema)
+    runner.run(plan=plan, stop_after=2)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    m = runner.run(plan=plan, stop_after=1)  # next commit = empty seg 2
+    after = set(tracker.getJobIdsForGroup(None))
+    rec = [r for r in m if r.get("epoch_key") == "0:2" and not r.get("skipped")]
+    assert len(rec) == 1
+    assert rec[0]["n_upserts"] == 0 and rec[0]["buckets_touched"] == []
+    assert after - before == set(), f"empty segment ran Spark jobs: {after - before}"
+
+    runner.run(plan=plan)  # finish the replay
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in LakeTable.load(spark, table.root).read().collect()}
+    assert got == {"d1": [1, 2], "d2": [3], "d3": [4, 5]}
