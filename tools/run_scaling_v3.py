@@ -186,13 +186,16 @@ def worker(e: int, log: str, table_path: str, ctl: str) -> int:
 
 # ---------------------------------------------------------------- parent
 def run_pair(rep: int, log_name: str, out_emit, segdir: str,
-             step_timeout: float, attempt: int = 0) -> dict | None:
+             step_timeout: float, attempt: int = 0,
+             execs: tuple[int, int] = (1, 4)) -> dict | None:
+    e_lo, e_hi = execs
+    ratio = e_hi / e_lo
     base, local = STORAGE["disk"], LOCALDIR["disk"]
     log = os.path.join(base, log_name)
     ctl = os.path.join(base, f"v3ctl_{rep}")
     shutil.rmtree(ctl, ignore_errors=True)
     os.makedirs(ctl)
-    tables = {e: os.path.join(base, f"v3_{e}") for e in (1, 4)}
+    tables = {e: os.path.join(base, f"v3_{e}") for e in execs}
     for t in tables.values():
         shutil.rmtree(t, ignore_errors=True)
     shutil.rmtree(local, ignore_errors=True)
@@ -221,7 +224,7 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
         }),
     )
     procs = {}
-    for e in (1, 4):
+    for e in execs:
         procs[e] = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(e),
              "--log-path", log, "--table-path", tables[e], "--ctl", ctl],
@@ -242,7 +245,7 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
     # wait for both workers (session build + warmup + plan, untimed)
     t0 = time.monotonic()
     while not all(os.path.exists(os.path.join(ctl, f"ready_{e}"))
-                  for e in (1, 4)):
+                  for e in execs):
         if time.monotonic() - t0 > 1200 or any(
                 p.poll() is not None for p in procs.values()):
             kill_all()
@@ -256,11 +259,11 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
     bw.start()
     steps: list[dict] = []
     windows: list[tuple[float, float, int]] = []  # (t0, t1, e)
-    finished = {1: False, 4: False}
+    finished = {e: False for e in execs}
     aborted = None
     s = 0
     while not all(finished.values()):
-        order = (1, 4) if s % 2 == 0 else (4, 1)
+        order = execs if s % 2 == 0 else execs[::-1]
         for e in order:
             if finished[e]:
                 continue
@@ -304,7 +307,7 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
     # evidence vanished (round-4 ADVICE finding; the v3.4 dirty pair-1
     # archives were clobbered exactly this way)
     os.makedirs(segdir, exist_ok=True)
-    for e in (1, 4):
+    for e in execs:
         seg = os.path.join(tables[e], "_metrics.jsonl")
         if os.path.exists(seg):
             shutil.copy(seg, os.path.join(
@@ -318,7 +321,7 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
         return None
 
     # attribute samples to configs by active window
-    per_cfg: dict[int, list[tuple[float, float]]] = {1: [], 4: []}
+    per_cfg: dict[int, list[tuple[float, float]]] = {e: [] for e in execs}
     for (t, busyv, stealv) in sampler.samples:
         for (a, b, e) in windows:
             if a <= t <= b:
@@ -327,7 +330,7 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
     verdicts = {}
     clean = True
     reasons: list[str] = []
-    for e in (1, 4):
+    for e in execs:
         noise = summarize(per_cfg[e])
         noise.update(noise_bw)  # pair-global bandwidth stats, symmetric tax
         ok, why = leg_clean(e, noise)
@@ -336,27 +339,31 @@ def run_pair(rep: int, log_name: str, out_emit, segdir: str,
             clean = False
             reasons += [f"{e}exec: {w}" for w in why]
 
-    t1 = sum(x["wall"] for x in steps if x["executors"] == 1 and x["op"] == "data")
-    t4 = sum(x["wall"] for x in steps if x["executors"] == 4 and x["op"] == "data")
-    n1 = sum(x["n_events"] for x in steps if x["executors"] == 1)
-    eff = t1 / (4 * t4) if t4 else None
+    t1 = sum(x["wall"] for x in steps
+             if x["executors"] == e_lo and x["op"] == "data")
+    t4 = sum(x["wall"] for x in steps
+             if x["executors"] == e_hi and x["op"] == "data")
+    n1 = sum(x["n_events"] for x in steps if x["executors"] == e_lo)
+    eff = t1 / (ratio * t4) if t4 else None
     per_seg = {}
     for x in steps:
         if x["op"] != "data":
             continue
         per_seg.setdefault(x["epoch_key"], {})[x["executors"]] = x["wall"]
-    seg_eff = {k: round(v[1] / (4 * v[4]), 3)
-               for k, v in per_seg.items() if 1 in v and 4 in v}
+    seg_eff = {k: round(v[e_lo] / (ratio * v[e_hi]), 3)
+               for k, v in per_seg.items() if e_lo in v and e_hi in v}
     pair = {
         "pair": rep, "attempt": attempt, "protocol": "v3.1-interleaved",
-        "t1_data_s": round(t1, 2), "t4_data_s": round(t4, 2),
+        "execs": list(execs),
+        f"t{e_lo}_data_s": round(t1, 2), f"t{e_hi}_data_s": round(t4, 2),
         "events": n1, "efficiency": round(eff, 3) if eff else None,
         "per_segment_eff": seg_eff,
-        "noise_1exec": verdicts[1], "noise_4exec": verdicts[4],
+        f"noise_{e_lo}exec": verdicts[e_lo],
+        f"noise_{e_hi}exec": verdicts[e_hi],
         "clean": clean, "dirty_reasons": reasons,
     }
     out_emit(pair)
-    sys.stderr.write(f"V3 PAIR {rep}: t1={t1:.1f} t4={t4:.1f} "
+    sys.stderr.write(f"V3 PAIR {rep}: t{e_lo}={t1:.1f} t{e_hi}={t4:.1f} "
                      f"eff={eff:.3f} clean={clean} {reasons}\n")
     return pair
 
@@ -374,7 +381,14 @@ def main() -> int:
     ap.add_argument("--segdir", default="BENCH/segmetrics_r4_interleaved")
     ap.add_argument("--step-timeout", type=float, default=2400.0)
     ap.add_argument("--skip-calibration", action="store_true")
+    ap.add_argument("--execs", default="1,4",
+                    help="N,4N executor counts for the pair (default 1,4); "
+                         "the second cluster-size point 2,8 measures the "
+                         "same north rule one octave up — cleanliness "
+                         "gates already scale with e (leg_clean)")
     args = ap.parse_args()
+    execs = tuple(int(x) for x in args.execs.split(","))
+    assert len(execs) == 2 and execs[0] < execs[1], "--execs wants lo,hi"
 
     if args.worker is not None:
         return worker(args.worker, args.log_path, args.table_path, args.ctl)
@@ -405,7 +419,7 @@ def main() -> int:
                 continue
             emit({"attempt": attempt, "calibration": cal})
         pair = run_pair(got + 1, args.log, emit, os.path.join(REPO, args.segdir),
-                        args.step_timeout, attempt=attempt)
+                        args.step_timeout, attempt=attempt, execs=execs)
         if pair is not None and pair["clean"]:
             got += 1
         elif pair is not None:
