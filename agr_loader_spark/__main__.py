@@ -119,6 +119,9 @@ def main(argv: list[str] | None = None) -> int:
         "final_columns": [c.name for c in final.columns()],
         "snapshot_id": final.snapshot_id,
         "schema_version": final._m["schema_version"],
+        # deploy-surface evidence: which cluster manager actually ran this
+        # (spark-submit's --master must survive get_spark; see session.py)
+        "master": spark.sparkContext.master,
     }
     print(json.dumps(summary))
     spark.stop()

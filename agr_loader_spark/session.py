@@ -73,11 +73,22 @@ def get_spark(
     # scaling-efficiency evidence (single-JVM local[N] shares one GC and
     # memory bus across all "executors").
     if master is None:
-        master = os.environ.get("SPARK_MASTER_OVERRIDE", f"local[{cores}]")
+        master = os.environ.get("SPARK_MASTER_OVERRIDE")
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # Only default to local[] when WE own the JVM. Under
+        # `spark-submit --master <anything>` the gateway JVM already
+        # carries the cluster manager's master (standalone/YARN/k8s);
+        # stomping it with local[N] would silently collapse a real
+        # cluster deploy to driver-local execution. Proven end-to-end in
+        # tests/test_spark_submit.py::test_spark_submit_multi_executor
+        # (submit master local-cluster[2,...] survives to sc.master).
+        master = f"local[{cores}]"
     _loopback_tcp_workaround()
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
