@@ -491,6 +491,9 @@ class LakeTable:
     # granularity is exhausted — at that point the production knob is a
     # larger n_buckets, not more partitions.
     ROWS_PER_FOLD_TASK = 600_000
+    # minimum rows to justify an extra fold task on sparse segments (each
+    # task costs a python-worker round-trip + a parquet open/write)
+    SPARSE_FOLD_ROWS = 1024
 
     def fold_partitions(self, n_touched: int, n_rows: int | None = None) -> int:
         """Fold task granularity: one wave of cores (wave_mult x cores;
@@ -514,6 +517,15 @@ class LakeTable:
         want = int(os.environ.get("SPARK_FOLD_WAVE_MULT", "1")) * cores
         if n_rows:
             want = max(want, -(-int(n_rows) // self.ROWS_PER_FOLD_TASK))
+            # sparse cap (CDC trickle regime): when the whole segment is
+            # smaller than one wave's worth of minimum-sized tasks, a
+            # full wave is pure fixed cost — e.g. a 100-row update-only
+            # patch paying 32 python-worker round-trips + 32 parquet
+            # opens. Cap tasks at ~SPARSE_FOLD_ROWS rows each so tiny
+            # segments fold in O(1) tasks; segments within 1024x of the
+            # wave size are untouched (steady-state plans unchanged).
+            if n_rows < cores * self.SPARSE_FOLD_ROWS:
+                want = min(want, -(-int(n_rows) // self.SPARSE_FOLD_ROWS))
         return max(1, min(n_touched, want))
 
     def _partition_salts(self, p: int) -> list[int] | None:

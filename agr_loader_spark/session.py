@@ -29,7 +29,10 @@ def _loopback_tcp_workaround() -> None:
     BBR on purpose must never have a library silently flip it — so the
     guard is SCOPED IN CODE, not just in this docstring: it applies only
     when the running kernel release matches the known-bad sandbox kernel
-    (6.18.5-fc*), unless explicitly forced with
+    FAMILY (6.18*-fc*: first diagnosed on 6.18.5-fc; the 2026-08-20
+    sandbox image updated to 6.18.44-fc-v21, which reverted to BBR and
+    reproduced the same bimodal multi-executor stalls — see
+    BENCH/BASELINE.md "ROUND 5: 2→8"), unless explicitly forced with
     SPARK_GRAFT_LOOPBACK_CC_FIX=1 (0 disables even in the sandbox). It
     is a no-op without procfs write access either way.
     """
@@ -38,7 +41,8 @@ def _loopback_tcp_workaround() -> None:
         return
     if force != "1":
         import platform
-        if not platform.release().startswith("6.18.5-fc"):
+        rel = platform.release()
+        if not (rel.startswith("6.18") and "-fc" in rel):
             return
     path = "/proc/sys/net/ipv4/tcp_congestion_control"
     try:

@@ -326,3 +326,20 @@ def test_lineage_side_log_cache_invalidation(spark, tmproot):
     assert t._lineage_rows() is first  # cache hit, same object
     t.merge(_changes(spark, [("b", [2], 1, "FB", "U")]), "1:0")
     assert [lin["epoch_key"] for lin in t.lineage()] == ["0:0", "1:0"]
+
+
+def test_fold_partitions_sparse_cap(spark, tmproot):
+    """CDC trickle regime: a tiny segment must not pay a full wave of
+    Arrow round-trips. With 64 touched buckets and 100 rows the fold is
+    one task; steady-state segments (>= cores x SPARSE_FOLD_ROWS rows)
+    keep the one-balanced-wave plan unchanged."""
+    t = _mk(spark, tmproot, n_buckets=64)
+    cores = spark.sparkContext.defaultParallelism
+    wave = t.fold_partitions(64, n_rows=cores * t.SPARSE_FOLD_ROWS)
+    # sparse: capped by rows, not by wave
+    assert t.fold_partitions(64, n_rows=100) == 1
+    assert t.fold_partitions(64, n_rows=t.SPARSE_FOLD_ROWS * 3) == 3
+    # steady state: unchanged full wave (bounded by touched buckets)
+    assert wave == min(64, cores)
+    # unknown row count: conservative, no cap applied
+    assert t.fold_partitions(64) == min(64, cores)
