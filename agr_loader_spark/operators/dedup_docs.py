@@ -35,6 +35,8 @@ folding is a vectorized pandas UDF over grouped hash arrays.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -130,6 +132,225 @@ def _verify_pairs(
     )
 
 
+# ------------------------------------------------- dense-vocab fast path
+#
+# The hashed-shingle self-equi-join materializes sum_h df(h)^2 rows. For a
+# DENSE corpus — many docs drawn from a small shingle vocabulary (template
+# text, logs, synthetic corpora) — df ~ n_docs/V and that sum explodes to
+# ~n_docs^2 * k^2 / V rows (measured 7.4e9 intermediate rows on the 50k-doc
+# bench corpus, V=931). In that regime every doc's shingle set fits a V-bit
+# bitmap, and EXACT pairwise intersection counts are a blocked dense matmul
+# over 0/1 indicator matrices: n_docs^2 * V multiply-adds of SIMD/BLAS work
+# instead of n_docs^2 * k^2 / V hash-aggregate row updates — the
+# guide-§1.2 "fix the distributed algorithm first" lever, executed per the
+# guide-§4.2 pattern (Spark distributes doc blocks via mapInArrow, numpy
+# does the per-block heavy lifting; only the tiny surviving pairs cross
+# back). float32 is exact here: counts are integers <= V <= the cap, far
+# below 2^24.
+#
+# Both paths produce identical rows (intersection-of-distinct-shingle-
+# hash-sets either way); the final jaccard/containment arithmetic runs in
+# the SAME Spark expressions as the join path, so values and dtypes match
+# bit-for-bit. The numpy side prefilters with a 1e-6 margin and Spark
+# re-applies the exact round()-then-threshold filter, so boundary pairs
+# are decided by the identical expression in both paths.
+#
+# Scale honesty: exact all-pairs Jaccard is Omega(candidate pairs) in any
+# algorithm; in the dense regime candidates ~= all pairs and BOTH paths
+# are quadratic in n_docs — the dense kernel just replaces ~k^2/V
+# shuffle+agg row updates per pair (~100 ns each) with V/8 bytes of
+# SIMD/BLAS (~1 ns/8 bytes), a ~100x constant. The caps below bound the
+# broadcast index and per-task matrix so the path self-disables on real
+# web-scale vocabularies, where the join/LSH paths remain the answer.
+
+_DENSE_VOCAB_CAP = int(os.environ.get("SPARK_JACCARD_DENSE_VOCAB_CAP", "4096"))
+# max total collected shingle refs (rows*8 bytes bounds the driver pull)
+_DENSE_COLLECT_CAP = int(os.environ.get("SPARK_JACCARD_DENSE_COLLECT_CAP",
+                                        str(32_000_000)))
+# max n_docs * vocab cells for the per-task float32 indicator matrix
+_DENSE_CELL_CAP = int(os.environ.get("SPARK_JACCARD_DENSE_CELL_CAP",
+                                     str(256_000_000)))
+
+
+def _dense_set_index(sets: DataFrame, id_col: str):
+    """Probe a (id, sh_set, n_sh) frame for the dense-vocab regime and, if
+    it qualifies, collect it into a compact numpy index.
+
+    Returns (vocab, ids, ns, indptr, indices) — vocab sorted int64 hash
+    values; per-doc sets as CSR of int32 positions into vocab — or None
+    when any cap trips (caller falls back to the join path). The collect
+    is the compact per-doc hash sets (8 B/shingle, _DENSE_COLLECT_CAP),
+    the same driver-side-build-then-broadcast pattern as a manual Bloom
+    filter (guide §3.2)."""
+    if os.environ.get("SPARK_JACCARD_DENSE", "1") == "0":
+        return None
+    # the kernel emits int64 ids; any other id type keeps the join path
+    # (whose output column type follows the input id type)
+    if not isinstance(sets.schema[id_col].dataType, T.LongType):
+        return None
+    st = sets.select(
+        F.sum("n_sh").alias("tot"), F.count("*").alias("n")
+    ).first()
+    tot, n = (st["tot"] or 0), st["n"]
+    if n < 2 or tot == 0 or tot > _DENSE_COLLECT_CAP:
+        return None
+    vocab_rows = (
+        sets.select(F.explode("sh_set").alias("h")).distinct()
+        .take(_DENSE_VOCAB_CAP + 1)
+    )
+    if len(vocab_rows) > _DENSE_VOCAB_CAP:
+        return None
+    vocab = np.sort(np.array([r["h"] for r in vocab_rows], dtype=np.int64))
+    if n * len(vocab) > _DENSE_CELL_CAP:
+        return None
+    tbl = sets.select(F.col(id_col).alias("__id"), "sh_set").toArrow()
+    ids = tbl.column("__id").to_numpy()
+    lists = tbl.column("sh_set").combine_chunks()
+    flat = np.searchsorted(vocab, lists.values.to_numpy()).astype(np.int32)
+    indptr = lists.offsets.to_numpy().astype(np.int64)
+    ns = np.diff(indptr).astype(np.int64)
+    return vocab, ids, ns, indptr, flat
+
+
+def _indicator_block(vocab: np.ndarray, hash_lists) -> np.ndarray:
+    """(rows, V) float32 indicator matrix from an Arrow list<int64>
+    column of shingle hashes; hashes absent from vocab are ignored."""
+    la = hash_lists.combine_chunks()
+    vals = la.values.to_numpy() if len(la.values) else np.empty(0, np.int64)
+    offs = la.offsets.to_numpy().astype(np.int64)
+    idx = np.searchsorted(vocab, vals)
+    np.clip(idx, 0, len(vocab) - 1, out=idx)
+    ok = vocab[idx] == vals
+    rows = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    a = np.zeros((len(offs) - 1, len(vocab)), dtype=np.float32)
+    a[rows[ok], idx[ok]] = 1.0
+    return a
+
+
+def _dense_self_pairs(sets: DataFrame, index, threshold: float,
+                      id_col: str) -> DataFrame:
+    """All (doc_a, doc_b, n_common, n_a, n_b) with doc_a < doc_b,
+    n_common >= 1 and jaccard >= threshold - 1e-6, via blocked GEMM of
+    each partition's doc block against the broadcast corpus index."""
+    vocab, ids, ns, indptr, flat = index
+    spark = sets.sparkSession
+    bc = spark.sparkContext.broadcast((vocab, ids, ns, indptr, flat))
+    thr = float(threshold)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        vocab, ids, ns, indptr, flat = bc.value
+        n, v = len(ids), len(vocab)
+        # corpus-side matrix built once per task (worker-reused tasks
+        # rebuild; ~n*V*4 bytes, capped by _DENSE_CELL_CAP)
+        bt = np.zeros((v, n), dtype=np.float32)
+        cols = np.repeat(np.arange(n), np.diff(indptr))
+        bt[flat, cols] = 1.0
+        nb = ns.astype(np.float64)
+        schema = pa.schema([
+            ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+            ("n_common", pa.int64()), ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+        ])
+        # bound per-op temporaries to ~2048x4096 cells (float64 mask
+        # chain ~67 MB/task peak)
+        col_chunk = 4096
+        for batch in batches:
+            tb = pa.Table.from_batches([batch])
+            bids = tb.column(0).to_numpy()
+            a = _indicator_block(vocab, tb.column(1))
+            na = a.sum(axis=1, dtype=np.float64)
+            for lo in range(0, a.shape[0], 2048):
+                hi = min(lo + 2048, a.shape[0])
+                ab = a[lo:hi]
+                ida = bids[lo:hi]
+                for clo in range(0, n, col_chunk):
+                    chi = min(clo + col_chunk, n)
+                    nc = ab @ bt[:, clo:chi]
+                    denom = na[lo:hi, None] + nb[None, clo:chi] - nc
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        j = nc / denom
+                    mask = (nc >= 1.0) & (j >= thr - 1e-6) & (
+                        ida[:, None] < ids[None, clo:chi]
+                    )
+                    ra, cb = np.nonzero(mask)
+                    if len(ra) == 0:
+                        continue
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(ida[ra], pa.int64()),
+                            pa.array(ids[clo + cb], pa.int64()),
+                            pa.array(nc[ra, cb].astype(np.int64)),
+                            pa.array(na[lo + ra].astype(np.int64)),
+                            pa.array(nb[clo + cb].astype(np.int64)),
+                        ],
+                        schema=schema,
+                    )
+
+    p = 2 * spark.sparkContext.defaultParallelism
+    return sets.select(F.col(id_col), "sh_set").repartition(p).mapInArrow(
+        gen, "doc_a long, doc_b long, n_common long, n_a long, n_b long"
+    )
+
+
+def _dense_contamination(train_sets: DataFrame, eval_index, min_common: int,
+                         id_col: str) -> DataFrame:
+    """(train_id, eval_id, n_common, containment) via per-task GEMM of
+    train doc blocks against the broadcast eval indicator matrix. Train
+    shingle hashes outside the eval vocabulary cannot match and are
+    dropped at indicator build; n_eval_sh comes from the eval set sizes
+    (vocab-independent), so values equal the join path's exactly."""
+    vocab, ev_ids, ev_ns, indptr, flat = eval_index
+    spark = train_sets.sparkSession
+    bc = spark.sparkContext.broadcast((vocab, ev_ids, ev_ns, indptr, flat))
+    # the join path can only ever emit pairs with at least one match
+    mc = float(max(min_common, 1))
+
+    def gen(batches):
+        import pyarrow as pa
+
+        vocab, ev_ids, ev_ns, indptr, flat = bc.value
+        n_ev, v = len(ev_ids), len(vocab)
+        bt = np.zeros((v, n_ev), dtype=np.float32)
+        cols = np.repeat(np.arange(n_ev), np.diff(indptr))
+        bt[flat, cols] = 1.0
+        schema = pa.schema([
+            ("train_id", pa.int64()), ("eval_id", pa.int64()),
+            ("n_common", pa.int64()), ("n_eval_sh", pa.int64()),
+        ])
+        for batch in batches:
+            tb = pa.Table.from_batches([batch])
+            tids = tb.column(0).to_numpy()
+            a = _indicator_block(vocab, tb.column(1))
+            for lo in range(0, a.shape[0], 2048):
+                hi = min(lo + 2048, a.shape[0])
+                nc = a[lo:hi] @ bt
+                ra, cb = np.nonzero(nc >= mc)
+                if len(ra) == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(tids[lo + ra], pa.int64()),
+                        pa.array(ev_ids[cb], pa.int64()),
+                        pa.array(nc[ra, cb].astype(np.int64)),
+                        pa.array(ev_ns[cb].astype(np.int64)),
+                    ],
+                    schema=schema,
+                )
+
+    p = 2 * spark.sparkContext.defaultParallelism
+    out = train_sets.select(
+        F.col(id_col), "sh_set"
+    ).repartition(p).mapInArrow(
+        gen, "train_id long, eval_id long, n_common long, n_eval_sh long"
+    )
+    return out.select(
+        "train_id", "eval_id", "n_common",
+        F.round(F.col("n_common") / F.col("n_eval_sh"), 6).alias("containment"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -153,8 +374,28 @@ def ngram_jaccard_pairs(
     baseline, and `minhash_lsh_pairs` is the scale path whose banded
     equi-join keeps candidates near-linear. Hot-shingle skew in the
     self-join is AQE-splittable (the hot build rows are broadcast here).
+
+    Dense-vocab corpora (see the fast-path comment above) short-circuit
+    the self-join into a blocked indicator GEMM with identical output;
+    `max_df` keeps the join path (its stop-shingle drop is defined on
+    the exploded table).
     """
     sets = _shingle_sets(docs, text_col, id_col, n)
+    if max_df is None:
+        index = _dense_set_index(sets, id_col)
+        if index is not None:
+            pairs = _dense_self_pairs(sets, index, threshold, id_col)
+            return (
+                pairs.withColumn(
+                    "jaccard",
+                    F.round(
+                        F.col("n_common")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+                    ),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("doc_a", "doc_b", "jaccard")
+            )
     sh = sets.select(id_col, F.explode("sh_set").alias("h"))
     if max_df is not None:
         # stop-shingle cap: a shingle in > max_df docs contributes
@@ -424,7 +665,23 @@ def contamination_pairs(
     with NO shuffle of the big side; the only shuffle is the per-pair
     count aggregation, bounded by the number of matches. Sub-n-token
     docs contribute no shingles on either side (the _gram_array guard).
+
+    Dense-eval fast path (same rationale as the ngram_jaccard dense
+    path): when the EVAL shingle vocabulary is small, the per-match
+    join rows (sum_h df_train * df_eval — tens of millions on a dense
+    corpus) collapse into one train-block x eval-matrix GEMM per task:
+    broadcast the eval indicator matrix instead of the exploded eval
+    shingle table, and no per-match row ever exists. The train side
+    still never shuffles its text — only its compact per-doc hash sets.
     """
+    if broadcast_eval and os.environ.get("SPARK_JACCARD_DENSE", "1") != "0":
+        ev_sets = _shingle_sets(eval_docs, text_col, id_col, n)
+        index = _dense_set_index(ev_sets, id_col)
+        if index is not None:
+            return _dense_contamination(
+                _shingle_sets(train, text_col, id_col, n), index,
+                min_common, id_col,
+            )
     tr = shingles(train, text_col, id_col, n).select(
         F.col(id_col).alias("train_id"), F.xxhash64("shingle").alias("h")
     )
