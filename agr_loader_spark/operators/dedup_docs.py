@@ -176,40 +176,47 @@ def _dense_set_index(sets: DataFrame, id_col: str):
     """Probe a (id, sh_set, n_sh) frame for the dense-vocab regime and, if
     it qualifies, collect it into a compact numpy index.
 
-    Returns (vocab, ids, ns, indptr, indices) — vocab sorted int64 hash
-    values; per-doc sets as CSR of int32 positions into vocab — or None
-    when any cap trips (caller falls back to the join path). The collect
-    is the compact per-doc hash sets (8 B/shingle, _DENSE_COLLECT_CAP),
-    the same driver-side-build-then-broadcast pattern as a manual Bloom
-    filter (guide §3.2)."""
+    Returns (index, sets) where index is (vocab, ids, ns, indptr,
+    indices) — vocab sorted int64 hash values; per-doc sets as CSR of
+    int32 positions into vocab — or (None, sets) when any cap trips
+    (caller falls back to the join path). The collect is the compact
+    per-doc hash sets (8 B/shingle, _DENSE_COLLECT_CAP), the same
+    driver-side-build-then-broadcast pattern as a manual Bloom filter
+    (guide §3.2). Once the size gate passes, the sets frame is
+    localCheckpoint-materialized (bounded by the collect cap) so the
+    vocab probe, the collect and the caller's kernel all reuse ONE
+    shingle-projection pass instead of recomputing it per job; the
+    materialized frame is returned for the caller to reuse on either
+    path."""
     if os.environ.get("SPARK_JACCARD_DENSE", "1") == "0":
-        return None
+        return None, sets
     # the kernel emits int64 ids; any other id type keeps the join path
     # (whose output column type follows the input id type)
     if not isinstance(sets.schema[id_col].dataType, T.LongType):
-        return None
+        return None, sets
     st = sets.select(
         F.sum("n_sh").alias("tot"), F.count("*").alias("n")
     ).first()
     tot, n = (st["tot"] or 0), st["n"]
     if n < 2 or tot == 0 or tot > _DENSE_COLLECT_CAP:
-        return None
+        return None, sets
+    sets = sets.localCheckpoint(eager=True)
     vocab_rows = (
         sets.select(F.explode("sh_set").alias("h")).distinct()
         .take(_DENSE_VOCAB_CAP + 1)
     )
     if len(vocab_rows) > _DENSE_VOCAB_CAP:
-        return None
+        return None, sets
     vocab = np.sort(np.array([r["h"] for r in vocab_rows], dtype=np.int64))
     if n * len(vocab) > _DENSE_CELL_CAP:
-        return None
+        return None, sets
     tbl = sets.select(F.col(id_col).alias("__id"), "sh_set").toArrow()
     ids = tbl.column("__id").to_numpy()
     lists = tbl.column("sh_set").combine_chunks()
     flat = np.searchsorted(vocab, lists.values.to_numpy()).astype(np.int32)
     indptr = lists.offsets.to_numpy().astype(np.int64)
     ns = np.diff(indptr).astype(np.int64)
-    return vocab, ids, ns, indptr, flat
+    return (vocab, ids, ns, indptr, flat), sets
 
 
 def _indicator_block(vocab: np.ndarray, hash_lists) -> np.ndarray:
@@ -256,11 +263,22 @@ def _dense_self_pairs(sets: DataFrame, index, threshold: float,
         # bound per-op temporaries to ~2048x4096 cells (float64 mask
         # chain ~67 MB/task peak)
         col_chunk = 4096
+        # jaccard >= t  <=>  nc >= c*(na+nb) with c = t/(1+t) (valid
+        # whenever nc >= 1, since then na+nb-nc > 0). Precomputing
+        # c*na / c*nb vectors turns the per-cell prefilter into one
+        # broadcast add + compare in float32; the 1e-4 slack absorbs
+        # float32 rounding and the downstream Spark expression applies
+        # the exact round()-then-threshold decision to the (tiny)
+        # surviving superset.
+        tm = max(thr - 1e-4, 0.0)
+        c = tm / (1.0 + tm)
+        cnb = (nb * c).astype(np.float32)
         for batch in batches:
             tb = pa.Table.from_batches([batch])
             bids = tb.column(0).to_numpy()
             a = _indicator_block(vocab, tb.column(1))
             na = a.sum(axis=1, dtype=np.float64)
+            cna = (na * c).astype(np.float32)
             for lo in range(0, a.shape[0], 2048):
                 hi = min(lo + 2048, a.shape[0])
                 ab = a[lo:hi]
@@ -268,15 +286,19 @@ def _dense_self_pairs(sets: DataFrame, index, threshold: float,
                 for clo in range(0, n, col_chunk):
                     chi = min(clo + col_chunk, n)
                     nc = ab @ bt[:, clo:chi]
-                    denom = na[lo:hi, None] + nb[None, clo:chi] - nc
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        j = nc / denom
-                    mask = (nc >= 1.0) & (j >= thr - 1e-6) & (
-                        ida[:, None] < ids[None, clo:chi]
+                    mask = (nc >= 1.0) & (
+                        nc >= cna[lo:hi, None] + cnb[None, clo:chi]
                     )
                     ra, cb = np.nonzero(mask)
                     if len(ra) == 0:
                         continue
+                    # id-order filter on the survivors only (pairs are
+                    # symmetric; each ordered pair survives in exactly
+                    # one row block)
+                    keep = ida[ra] < ids[clo + cb]
+                    if not keep.any():
+                        continue
+                    ra, cb = ra[keep], cb[keep]
                     yield pa.RecordBatch.from_arrays(
                         [
                             pa.array(ida[ra], pa.int64()),
@@ -288,8 +310,7 @@ def _dense_self_pairs(sets: DataFrame, index, threshold: float,
                         schema=schema,
                     )
 
-    p = 2 * spark.sparkContext.defaultParallelism
-    return sets.select(F.col(id_col), "sh_set").repartition(p).mapInArrow(
+    return sets.select(F.col(id_col), "sh_set").mapInArrow(
         gen, "doc_a long, doc_b long, n_common long, n_a long, n_b long"
     )
 
@@ -339,10 +360,7 @@ def _dense_contamination(train_sets: DataFrame, eval_index, min_common: int,
                     schema=schema,
                 )
 
-    p = 2 * spark.sparkContext.defaultParallelism
-    out = train_sets.select(
-        F.col(id_col), "sh_set"
-    ).repartition(p).mapInArrow(
+    out = train_sets.select(F.col(id_col), "sh_set").mapInArrow(
         gen, "train_id long, eval_id long, n_common long, n_eval_sh long"
     )
     return out.select(
@@ -380,9 +398,16 @@ def ngram_jaccard_pairs(
     `max_df` keeps the join path (its stop-shingle drop is defined on
     the exploded table).
     """
-    sets = _shingle_sets(docs, text_col, id_col, n)
+    # spread the (expensive, interpreted) shingle projection BEFORE it
+    # runs: bench-scale inputs are one or two scan partitions, and every
+    # consumer below recomputes this subtree — hash-partitioning by doc
+    # id here also pre-establishes the partitioning the join path's
+    # probe side wants (guide §2.4: share one exchange)
+    p = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    sets = _shingle_sets(docs.repartition(p, F.col(id_col)),
+                         text_col, id_col, n)
     if max_df is None:
-        index = _dense_set_index(sets, id_col)
+        index, sets = _dense_set_index(sets, id_col)
         if index is not None:
             pairs = _dense_self_pairs(sets, index, threshold, id_col)
             return (
@@ -442,6 +467,94 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------- minhash
+def _dense_minhash_signatures(
+    docs: DataFrame, num_hashes: int, n: int, text_col: str, id_col: str,
+):
+    """Dense-vocab fast path for minhash_signatures, bit-identical by
+    construction: the per-(i, shingle) hash values are computed by the
+    SAME JVM xxhash64 expressions as the aggregation path — but once per
+    DISTINCT shingle instead of once per (doc, shingle) occurrence — and
+    the per-doc min-fold is a vectorized gather+reduceat in numpy over
+    the broadcast (vocab_hash -> hash-vector) table. On the bench corpus
+    this turns 64 min-aggregates over the exploded shingle table (165M
+    string hashes + agg updates behind one shuffle) into one shuffle-free
+    columnar pass. Returns None when the vocabulary cap trips or ids are
+    not int64 (caller keeps the aggregation path)."""
+    if os.environ.get("SPARK_JACCARD_DENSE", "1") == "0":
+        return None
+    if not isinstance(docs.schema[id_col].dataType, T.LongType):
+        return None
+    spark = docs.sparkSession
+    p = 2 * spark.sparkContext.defaultParallelism
+    rows = (
+        shingles(docs.repartition(p), text_col, id_col, n)
+        .select("shingle").distinct()
+        .select(
+            F.xxhash64("shingle").alias("h"),
+            *[
+                F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .take(_DENSE_VOCAB_CAP + 1)
+    )
+    if len(rows) > _DENSE_VOCAB_CAP or not rows:
+        return None
+    vh = np.array([r["h"] for r in rows], dtype=np.int64)
+    hv = np.array(
+        [[r[f"h{i}"] for i in range(num_hashes)] for r in rows],
+        dtype=np.int64,
+    )
+    order = np.argsort(vh)
+    vh, hv = vh[order], hv[order]
+    bc = spark.sparkContext.broadcast((vh, hv))
+    nh = num_hashes
+
+    def gen(batches):
+        import pyarrow as pa
+
+        vh, hv = bc.value
+        schema = pa.schema([
+            ("__id", pa.int64()), ("sig", pa.list_(pa.int64())),
+        ])
+        for batch in batches:
+            tb = pa.Table.from_batches([batch])
+            ids = tb.column(0).to_numpy()
+            la = tb.column(1).combine_chunks()
+            vals = (la.values.to_numpy() if len(la.values)
+                    else np.empty(0, np.int64))
+            offs = la.offsets.to_numpy().astype(np.int64)
+            keep = np.diff(offs) > 0
+            if not keep.any():
+                continue
+            per = hv[np.searchsorted(vh, vals)]
+            # docs with no shingles produce no signature row (the
+            # aggregation path's groupBy over an empty explode likewise
+            # emits nothing); dropping them first keeps every reduceat
+            # segment non-empty
+            sig = np.minimum.reduceat(per, offs[:-1][keep], axis=0)
+            nk = int(keep.sum())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[keep], pa.int64()),
+                    pa.ListArray.from_arrays(
+                        np.arange(0, (nk + 1) * nh, nh, dtype=np.int32),
+                        pa.array(sig.reshape(-1), pa.int64()),
+                    ),
+                ],
+                schema=schema,
+            )
+
+    sets = _shingle_sets(docs.repartition(p, F.col(id_col)),
+                         text_col, id_col, n).localCheckpoint(eager=True)
+    sig = sets.select(
+        F.col(id_col).alias("__id"), "sh_set"
+    ).mapInArrow(gen, "__id long, sig array<bigint>").select(
+        F.col("__id").alias(id_col), "sig"
+    )
+    return sig, sets
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, n: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
@@ -452,7 +565,14 @@ def minhash_signatures(
     num_hashes codegen'd min-aggregates assembled into the signature
     array. (A nested transform-of-transform over per-doc hash sets —
     "no explode, no shuffle" — was measured SLOWER: it runs
-    interpreted, outside whole-stage codegen; see the note below.)"""
+    interpreted, outside whole-stage codegen; see the note below.)
+
+    Dense-vocab corpora take `_dense_minhash_signatures` (identical
+    values, one hash per (i, distinct shingle) instead of per
+    occurrence); everything else runs the aggregation below."""
+    fast = _dense_minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    if fast is not None:
+        return fast[0]
     # string shingles + 64 codegen'd min-aggs. Measured alternatives on
     # sf0.1 (warm, 3 reps): nested transform-of-transform over per-doc
     # hash sets runs interpreted (~6s); pre-hashed long shingles make the
@@ -488,7 +608,16 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs up to LSH recall.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    fast = _dense_minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    if fast is not None:
+        sig, sets = fast
+        # the banding self-join and the verify joins each consume their
+        # input twice; signature rows are ~0.5 KB/doc, so materialize
+        # once instead of recomputing the whole pipeline per join side
+        sig = sig.localCheckpoint(eager=True)
+    else:
+        sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+        sets = _shingle_sets(docs, text_col, id_col, n)
     bands_df = sig.select(
         F.col(id_col),
         F.posexplode(
@@ -506,8 +635,9 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
-    # exact verification on candidates only
-    sets = _shingle_sets(docs, text_col, id_col, n)
+    # exact verification on candidates only (sets shared with the
+    # signature fold on the fast path — one materialized pass feeds the
+    # fold and both verify join sides)
     return _verify_pairs(candidates, sets, threshold, id_col)
 
 
@@ -675,12 +805,16 @@ def contamination_pairs(
     still never shuffles its text — only its compact per-doc hash sets.
     """
     if broadcast_eval and os.environ.get("SPARK_JACCARD_DENSE", "1") != "0":
-        ev_sets = _shingle_sets(eval_docs, text_col, id_col, n)
-        index = _dense_set_index(ev_sets, id_col)
+        p = 2 * train.sparkSession.sparkContext.defaultParallelism
+        ev_sets = _shingle_sets(eval_docs.repartition(p), text_col, id_col, n)
+        index, ev_sets = _dense_set_index(ev_sets, id_col)
         if index is not None:
+            # spread the train-side shingle projection (bench inputs are
+            # 1-2 scan partitions; at scale the scan parallelism covers
+            # this and the repartition moves only compact text rows once)
             return _dense_contamination(
-                _shingle_sets(train, text_col, id_col, n), index,
-                min_common, id_col,
+                _shingle_sets(train.repartition(p), text_col, id_col, n),
+                index, min_common, id_col,
             )
     tr = shingles(train, text_col, id_col, n).select(
         F.col(id_col).alias("train_id"), F.xxhash64("shingle").alias("h")

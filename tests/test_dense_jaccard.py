@@ -37,7 +37,7 @@ def _legacy(monkeypatch_env, fn):
 
 def test_dense_index_engages_on_small_vocab(spark, docs):
     sets = _shingle_sets(docs, "text", "doc_id", 2)
-    index = _dense_set_index(sets, "doc_id")
+    index, _ = _dense_set_index(sets, "doc_id")
     assert index is not None
     vocab, ids, ns, indptr, flat = index
     assert len(ids) == docs.count()
@@ -78,7 +78,7 @@ def test_vocab_cap_falls_back_to_join_path(spark, docs):
         dd._DENSE_VOCAB_CAP = 4
         try:
             sets = _shingle_sets(docs, "text", "doc_id", 2)
-            assert _dense_set_index(sets, "doc_id") is None
+            assert _dense_set_index(sets, "doc_id")[0] is None
             plan = ngram_jaccard_pairs(docs, threshold=0.5)._jdf.queryExecution(
             ).executedPlan().toString()
             assert "MapInArrow" not in plan
