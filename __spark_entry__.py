@@ -404,7 +404,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agr_loader_spark.operators.textqc import lang_id, quality_score, token_count
 
-    d = _t(spark, sf_dir, "documents")
+    # lang_id/quality are interpreted higher-order exprs (pure per-row
+    # CPU); the sf fixture is one small file (one scan partition), so fan
+    # out first — same rationale as q_date_normalize: at production scale
+    # splittable inputs provide this parallelism for free
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tok"),

@@ -44,13 +44,26 @@ def transitive_closure(
     # round materializes only its new pairs; re-materializing the whole
     # accumulated closure every round would double the per-round cost.
     if method == "double":
+        # SEMI-NAIVE doubling: compose only the FRONTIER (pairs first
+        # discovered last round, min-distance in (2^(k-1), 2^k]) with the
+        # full closure, not closure∘closure. Complete by the standard
+        # split argument: a minimal path of length L in (2^k, 2^(k+1)]
+        # cut at position 2^k gives a first segment whose min-distance
+        # must exceed 2^(k-1) (else the whole path wasn't minimal) — i.e.
+        # a frontier pair — and a remainder already in the closure. Same
+        # fixpoint in the same ceil(log2(depth)) rounds, but the compose
+        # no longer re-derives every known pair through every midpoint
+        # each round (the dominant join volume of the full-doubling
+        # variant; guide §2.3 "shuffle fewer bytes" at the algorithm
+        # level).
+        frontier = closure
         for _ in range(max_iterations):
             right = closure.select(
                 F.col("descendant_id").alias("ancestor_id"),
                 F.col("ancestor_id").alias("__next"),
             )
             nxt = (
-                closure.join(right, on="ancestor_id", how="inner")
+                frontier.join(right, on="ancestor_id", how="inner")
                 .select("descendant_id", F.col("__next").alias("ancestor_id"))
                 .dropDuplicates()
                 .join(closure, on=["descendant_id", "ancestor_id"], how="left_anti")
@@ -59,6 +72,7 @@ def transitive_closure(
             if nxt.isEmpty():
                 return closure
             closure = closure.unionByName(nxt)
+            frontier = nxt
         raise RuntimeError(
             f"closure did not converge in {max_iterations} doubling rounds (cycle?)"
         )
