@@ -522,10 +522,24 @@ class LakeTable:
             # full wave is pure fixed cost — e.g. a 100-row update-only
             # patch paying 32 python-worker round-trips + 32 parquet
             # opens. Cap tasks at ~SPARSE_FOLD_ROWS rows each so tiny
-            # segments fold in O(1) tasks; segments within 1024x of the
-            # wave size are untouched (steady-state plans unchanged).
-            if n_rows < cores * self.SPARSE_FOLD_ROWS:
-                want = min(want, -(-int(n_rows) // self.SPARSE_FOLD_ROWS))
+            # segments fold in O(1) tasks. A segment with at least
+            # SPARSE_FOLD_ROWS rows per task of the full wave (wave_mult
+            # included, since sparse >= want disables the cap) keeps its
+            # steady-state plan. The cap is FLOORED by the table's
+            # state-carrying buckets: each fold task also rewrites its
+            # buckets' existing files, so collapsing a 100-row trickle
+            # over a LARGE table into one task would serialize up to
+            # n_buckets full state rewrites — the changeset being tiny
+            # says nothing about the state volume. Buckets-with-state
+            # comes straight from the manifest; the per-task rewrite
+            # budget is env-tunable.
+            sparse = -(-int(n_rows) // self.SPARSE_FOLD_ROWS)
+            if sparse < want:
+                per_task = max(1, int(os.environ.get(
+                    "SPARK_SPARSE_FOLD_BUCKETS_PER_TASK", "2")))
+                n_state = sum(1 for f in self._m["buckets"].values() if f)
+                state_floor = -(-min(n_state, n_touched) // per_task)
+                want = min(want, max(sparse, state_floor))
         return max(1, min(n_touched, want))
 
     def _partition_salts(self, p: int) -> list[int] | None:

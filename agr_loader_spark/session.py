@@ -41,8 +41,12 @@ def _loopback_tcp_workaround() -> None:
         return
     if force != "1":
         import platform
+        import re
         rel = platform.release()
-        if not (rel.startswith("6.18") and "-fc" in rel):
+        # anchored to the 6.18.x-fc family exactly: startswith("6.18")
+        # would also catch hypothetical 6.180+/6.181 releases, and a bare
+        # "-fc" substring could appear in any custom localversion
+        if re.match(r"6\.18\.\d+-fc", rel) is None:
             return
     path = "/proc/sys/net/ipv4/tcp_congestion_control"
     try:
@@ -51,6 +55,13 @@ def _loopback_tcp_workaround() -> None:
                 return
         with open(path, "w") as f:
             f.write("cubic")
+        # flipping a host-wide sysctl must never be silent
+        import sys
+        sys.stderr.write(
+            "agr_loader_spark: loopback-TCP workaround rewrote host "
+            "tcp_congestion_control bbr -> cubic (known-bad sandbox "
+            "kernel family; SPARK_GRAFT_LOOPBACK_CC_FIX=0 disables)\n"
+        )
     except OSError:
         pass
 

@@ -343,3 +343,22 @@ def test_fold_partitions_sparse_cap(spark, tmproot):
     assert wave == min(64, cores)
     # unknown row count: conservative, no cap applied
     assert t.fold_partitions(64) == min(64, cores)
+
+
+def test_fold_partitions_sparse_cap_state_floor(spark, tmproot):
+    """A trickle patch over a table whose buckets already CARRY state
+    must keep the state rewrites parallel: each fold task re-reads and
+    rewrites its buckets' existing files, so the cap is floored at
+    ceil(state_buckets / per-task budget) even when the changeset is
+    100 rows (the advice-flagged serialization regression)."""
+    t = _mk(spark, tmproot, n_buckets=8)
+    # seed every bucket with state
+    t.merge(_changes(spark, [(f"d{i}", [i], 1, "FB", "U") for i in range(64)]),
+            "0:0")
+    n_state = sum(1 for f in t._m["buckets"].values() if f)
+    assert n_state >= 7  # 64 keys over 8 buckets: all or nearly all carry state
+    # 100-row trickle: floored by state buckets / budget (2), not 1 task
+    assert t.fold_partitions(8, n_rows=100) == -(-n_state // 2)
+    # fresh table (no state): the pure-sparse cap still collapses to 1
+    t2 = _mk(spark, tmproot + "/fresh", n_buckets=8)
+    assert t2.fold_partitions(8, n_rows=100) == 1
