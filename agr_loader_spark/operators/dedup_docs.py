@@ -172,7 +172,22 @@ _DENSE_CELL_CAP = int(os.environ.get("SPARK_JACCARD_DENSE_CELL_CAP",
                                      str(256_000_000)))
 
 
-def _dense_set_index(sets: DataFrame, id_col: str):
+def _cheap_dense_pregate(docs: DataFrame, text_col: str) -> bool:
+    """Upper-bound gate on the dense-index collect WITHOUT computing the
+    shingle projection: whitespace shingle rows per doc are bounded by
+    token count <= (chars+1)/2, so sum(length(text))//2 caps the
+    collected refs. One cheap columnar scan instead of a full
+    split/distinct/hash pass; conservative (may fall back to the join
+    path on long-word corpora near the cap, never over-collects)."""
+    st = docs.select(
+        F.count("*").alias("n"),
+        F.sum(F.length(F.col(text_col))).alias("chars"),
+    ).first()
+    n, chars = st["n"], (st["chars"] or 0)
+    return n >= 2 and 0 < chars and chars // 2 <= _DENSE_COLLECT_CAP
+
+
+def _dense_set_index(sets: DataFrame, id_col: str, pregated: bool = False):
     """Probe a (id, sh_set, n_sh) frame for the dense-vocab regime and, if
     it qualifies, collect it into a compact numpy index.
 
@@ -194,12 +209,13 @@ def _dense_set_index(sets: DataFrame, id_col: str):
     # (whose output column type follows the input id type)
     if not isinstance(sets.schema[id_col].dataType, T.LongType):
         return None, sets
-    st = sets.select(
-        F.sum("n_sh").alias("tot"), F.count("*").alias("n")
-    ).first()
-    tot, n = (st["tot"] or 0), st["n"]
-    if n < 2 or tot == 0 or tot > _DENSE_COLLECT_CAP:
-        return None, sets
+    if not pregated:
+        st = sets.select(
+            F.sum("n_sh").alias("tot"), F.count("*").alias("n")
+        ).first()
+        tot, n = (st["tot"] or 0), st["n"]
+        if n < 2 or tot == 0 or tot > _DENSE_COLLECT_CAP:
+            return None, sets
     sets = sets.localCheckpoint(eager=True)
     vocab_rows = (
         sets.select(F.explode("sh_set").alias("h")).distinct()
@@ -208,14 +224,30 @@ def _dense_set_index(sets: DataFrame, id_col: str):
     if len(vocab_rows) > _DENSE_VOCAB_CAP:
         return None, sets
     vocab = np.sort(np.array([r["h"] for r in vocab_rows], dtype=np.int64))
-    if n * len(vocab) > _DENSE_CELL_CAP:
-        return None, sets
     tbl = sets.select(F.col(id_col).alias("__id"), "sh_set").toArrow()
+    if tbl.num_rows * len(vocab) > _DENSE_CELL_CAP or tbl.num_rows < 2:
+        return None, sets
     ids = tbl.column("__id").to_numpy()
     lists = tbl.column("sh_set").combine_chunks()
     flat = np.searchsorted(vocab, lists.values.to_numpy()).astype(np.int32)
     indptr = lists.offsets.to_numpy().astype(np.int64)
     ns = np.diff(indptr).astype(np.int64)
+    # sort by doc id: the self-pair kernel range-partitions its input and
+    # prunes columns below each task's id range, which needs the
+    # broadcast column side id-ordered
+    order = np.argsort(ids, kind="stable")
+    if not np.all(order == np.arange(len(ids))):
+        ids, ns = ids[order], ns[order]
+        sizes = np.diff(indptr)
+        new_flat = np.empty_like(flat)
+        new_indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(sizes[order], out=new_indptr[1:])
+        pos = 0
+        for k in order:
+            ln = int(sizes[k])
+            new_flat[pos:pos + ln] = flat[indptr[k]:indptr[k] + ln]
+            pos += ln
+        flat, indptr = new_flat, new_indptr
     return (vocab, ids, ns, indptr, flat), sets
 
 
@@ -266,10 +298,10 @@ def _dense_self_pairs(sets: DataFrame, index, threshold: float,
         # jaccard >= t  <=>  nc >= c*(na+nb) with c = t/(1+t) (valid
         # whenever nc >= 1, since then na+nb-nc > 0). Precomputing
         # c*na / c*nb vectors turns the per-cell prefilter into one
-        # broadcast add + compare in float32; the 1e-4 slack absorbs
-        # float32 rounding and the downstream Spark expression applies
-        # the exact round()-then-threshold decision to the (tiny)
-        # surviving superset.
+        # broadcast add + max + compare in float32; the 1e-4 slack
+        # absorbs float32 rounding and the downstream Spark expression
+        # applies the exact round()-then-threshold decision to the
+        # (tiny) surviving superset.
         tm = max(thr - 1e-4, 0.0)
         c = tm / (1.0 + tm)
         cnb = (nb * c).astype(np.float32)
@@ -279,17 +311,22 @@ def _dense_self_pairs(sets: DataFrame, index, threshold: float,
             a = _indicator_block(vocab, tb.column(1))
             na = a.sum(axis=1, dtype=np.float64)
             cna = (na * c).astype(np.float32)
+            # the broadcast column side is id-sorted and the input is
+            # range-partitioned by id, so every column with id <= this
+            # batch's minimum can never satisfy doc_a < doc_b here —
+            # skip it outright (halves the GEMM work on average; each
+            # unordered pair is computed in exactly one task either way)
+            col0 = int(np.searchsorted(ids, bids.min(), side="right"))                 if len(bids) else n
             for lo in range(0, a.shape[0], 2048):
                 hi = min(lo + 2048, a.shape[0])
                 ab = a[lo:hi]
                 ida = bids[lo:hi]
-                for clo in range(0, n, col_chunk):
+                for clo in range(col0 - col0 % col_chunk, n, col_chunk):
                     chi = min(clo + col_chunk, n)
                     nc = ab @ bt[:, clo:chi]
-                    mask = (nc >= 1.0) & (
-                        nc >= cna[lo:hi, None] + cnb[None, clo:chi]
-                    )
-                    ra, cb = np.nonzero(mask)
+                    rhs = cna[lo:hi, None] + cnb[None, clo:chi]
+                    np.maximum(rhs, np.float32(1.0), out=rhs)
+                    ra, cb = np.nonzero(nc >= rhs)
                     if len(ra) == 0:
                         continue
                     # id-order filter on the survivors only (pairs are
@@ -310,7 +347,12 @@ def _dense_self_pairs(sets: DataFrame, index, threshold: float,
                         schema=schema,
                     )
 
-    return sets.select(F.col(id_col), "sh_set").mapInArrow(
+    # contiguous id ranges per task enable the column pruning above;
+    # the range shuffle moves only the compact materialized sets
+    p = 2 * spark.sparkContext.defaultParallelism
+    return sets.select(F.col(id_col), "sh_set").repartitionByRange(
+        p, F.col(id_col)
+    ).mapInArrow(
         gen, "doc_a long, doc_b long, n_common long, n_a long, n_b long"
     )
 
@@ -407,7 +449,9 @@ def ngram_jaccard_pairs(
     sets = _shingle_sets(docs.repartition(p, F.col(id_col)),
                          text_col, id_col, n)
     if max_df is None:
-        index, sets = _dense_set_index(sets, id_col)
+        index = None
+        if _cheap_dense_pregate(docs, text_col):
+            index, sets = _dense_set_index(sets, id_col, pregated=True)
         if index is not None:
             pairs = _dense_self_pairs(sets, index, threshold, id_col)
             return (
@@ -806,8 +850,11 @@ def contamination_pairs(
     """
     if broadcast_eval and os.environ.get("SPARK_JACCARD_DENSE", "1") != "0":
         p = 2 * train.sparkSession.sparkContext.defaultParallelism
-        ev_sets = _shingle_sets(eval_docs.repartition(p), text_col, id_col, n)
-        index, ev_sets = _dense_set_index(ev_sets, id_col)
+        index = None
+        if _cheap_dense_pregate(eval_docs, text_col):
+            ev_sets = _shingle_sets(eval_docs.repartition(p),
+                                    text_col, id_col, n)
+            index, ev_sets = _dense_set_index(ev_sets, id_col, pregated=True)
         if index is not None:
             # spread the train-side shingle projection (bench inputs are
             # 1-2 scan partitions; at scale the scan parallelism covers
