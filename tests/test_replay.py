@@ -267,11 +267,11 @@ def test_precombine_default_approx_counters(spark, tmproot, binlog,
         # the fold cannot measure dups post-collapse: no false zero
         assert "n_duplicates_dropped" not in lp[k], k
         # the dup estimate is n_events - HLL(distinct lsn): its error is
-        # relative to SEGMENT SIZE (rsd=0.01), not to the dup count —
-        # honest bound, see runner._plan
+        # relative to SEGMENT SIZE (3 sigma of the default rsd=0.02),
+        # not to the dup count — honest bound, see runner._plan
         approx = lp[k]["n_duplicates_dropped_approx"]
         exact = lr[k]["n_duplicates_dropped"]
-        assert abs(approx - exact) <= max(5, int(0.03 * lp[k]["n_events"])), \
+        assert abs(approx - exact) <= max(5, int(0.06 * lp[k]["n_events"])), \
             (k, approx, exact, lp[k]["n_events"])
         # applied upserts: winner rows written this commit
         assert lp[k]["n_upserts"] >= 0
