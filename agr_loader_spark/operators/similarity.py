@@ -36,6 +36,24 @@ def _cosine(a, b) -> F.Column:
     return dot / (na * nb)
 
 
+def _norm(v) -> F.Column:
+    """sqrt(sum x^2) in float64 — the identical subexpression _cosine
+    folds per pair, exposed so callers can evaluate it once per ROW
+    before a join instead of once per PAIR (these higher-order array
+    folds run interpreted, so per-pair norm recomputation dominates
+    brute-force scoring; same ops on the same doubles, so the quotient
+    is bit-identical)."""
+    vd = F.transform(v, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b) -> F.Column:
+    av = F.transform(a, lambda x: x.cast("double"))
+    bv = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -51,15 +69,24 @@ def brute_force_topk(
     shuffles.
     """
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+                       _norm(F.col(vec_col)).alias("q_norm"))
     )
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    # norms once per row (not per pair), and fan the big side out of the
+    # fixture file's single scan partition before the nested-loop probe
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+    ).repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     scored = (
         q.crossJoin(e)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(_cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
