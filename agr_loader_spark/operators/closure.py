@@ -25,6 +25,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# checkpoints go to DISK_ONLY: the fixpoint leaves its per-round delta
+# blocks in the caching subsystem for the lifetime of the returned
+# frame, and MEMORY_AND_DISK blocks from repeated closure runs were
+# measurable unified-memory pressure on every LATER query in a long
+# session (round-6 bench: the CDC replay at the end of the 24-query
+# sequence ran ~25% slower than isolated). Disk blocks cost one
+# serialized re-read per round and nothing when idle.
+_CKPT = dict(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def transitive_closure(
@@ -38,7 +48,7 @@ def transitive_closure(
     base = edges.select(
         F.col(child_col).alias("descendant_id"), F.col(parent_col).alias("ancestor_id")
     ).dropDuplicates()
-    closure = base.localCheckpoint(eager=True)
+    closure = base.localCheckpoint(**_CKPT)
 
     # closure is kept as a LAZY union of eagerly-checkpointed deltas: each
     # round materializes only its new pairs; re-materializing the whole
@@ -67,7 +77,7 @@ def transitive_closure(
                 .select("descendant_id", F.col("__next").alias("ancestor_id"))
                 .dropDuplicates()
                 .join(closure, on=["descendant_id", "ancestor_id"], how="left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(**_CKPT)
             )
             if nxt.isEmpty():
                 return closure
@@ -87,7 +97,7 @@ def transitive_closure(
             .select("descendant_id", F.col("__next").alias("ancestor_id"))
             .dropDuplicates()
             .join(closure, on=["descendant_id", "ancestor_id"], how="left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(**_CKPT)
         )
         if nxt.isEmpty():
             break
@@ -134,10 +144,10 @@ def closure_delta(
     ).dropDuplicates()
     # ext = Δ padded by existing reachability on both sides
     ext = delta.unionByName(_compose(closure, delta))
-    ext = ext.unionByName(_compose(ext, closure)).dropDuplicates().localCheckpoint(eager=True)
+    ext = ext.unionByName(_compose(ext, closure)).dropDuplicates().localCheckpoint(**_CKPT)
 
     anti = ["descendant_id", "ancestor_id"]
-    new = ext.join(closure, on=anti, how="left_anti").localCheckpoint(eager=True)
+    new = ext.join(closure, on=anti, how="left_anti").localCheckpoint(**_CKPT)
     frontier = new
     for _ in range(max_iterations):
         nxt = (
@@ -145,7 +155,7 @@ def closure_delta(
             .dropDuplicates()
             .join(closure, on=anti, how="left_anti")
             .join(new, on=anti, how="left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(**_CKPT)
         )
         if nxt.isEmpty():
             return new
@@ -200,16 +210,16 @@ def closure_delete(
         .select(*anti)
         .dropDuplicates()
         .join(closure, on=anti, how="left_semi")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(**_CKPT)
     )
-    kept = closure.join(suspect, on=anti, how="left_anti").localCheckpoint(eager=True)
+    kept = closure.join(suspect, on=anti, how="left_anti").localCheckpoint(**_CKPT)
 
     ebase = remaining_edges.select(
         F.col(child_col).alias("descendant_id"), F.col(parent_col).alias("ancestor_id")
     ).dropDuplicates()
     onehop = ebase.join(suspect, on=anti, how="left_semi")
     via_kept = _compose(ebase, kept).join(suspect, on=anti, how="left_semi")
-    red = onehop.unionByName(via_kept).dropDuplicates().localCheckpoint(eager=True)
+    red = onehop.unionByName(via_kept).dropDuplicates().localCheckpoint(**_CKPT)
     frontier = red
     for _ in range(max_iterations):
         nxt = (
@@ -217,7 +227,7 @@ def closure_delete(
             .dropDuplicates()
             .join(suspect, on=anti, how="left_semi")
             .join(red, on=anti, how="left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(**_CKPT)
         )
         if nxt.isEmpty():
             return kept.unionByName(red)

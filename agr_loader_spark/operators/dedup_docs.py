@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql.functions import pandas_udf
 
 
@@ -216,7 +217,12 @@ def _dense_set_index(sets: DataFrame, id_col: str, pregated: bool = False):
         tot, n = (st["tot"] or 0), st["n"]
         if n < 2 or tot == 0 or tot > _DENSE_COLLECT_CAP:
             return None, sets
-    sets = sets.localCheckpoint(eager=True)
+    # DISK_ONLY: materialized sets must not compete with execution
+    # memory for the rest of the session (same rationale as the
+    # runner's prefetch persist) — a long bench session otherwise
+    # accumulates checkpoint blocks in unified memory and taxes every
+    # later query's shuffles
+    sets = sets.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     vocab_rows = (
         sets.select(F.explode("sh_set").alias("h")).distinct()
         .take(_DENSE_VOCAB_CAP + 1)
@@ -590,7 +596,8 @@ def _dense_minhash_signatures(
             )
 
     sets = _shingle_sets(docs.repartition(p, F.col(id_col)),
-                         text_col, id_col, n).localCheckpoint(eager=True)
+                         text_col, id_col, n).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY)
     sig = sets.select(
         F.col(id_col).alias("__id"), "sh_set"
     ).mapInArrow(gen, "__id long, sig array<bigint>").select(
@@ -658,7 +665,8 @@ def minhash_lsh_pairs(
         # the banding self-join and the verify joins each consume their
         # input twice; signature rows are ~0.5 KB/doc, so materialize
         # once instead of recomputing the whole pipeline per join side
-        sig = sig.localCheckpoint(eager=True)
+        sig = sig.localCheckpoint(eager=True,
+                                  storageLevel=StorageLevel.DISK_ONLY)
     else:
         sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
         sets = _shingle_sets(docs, text_col, id_col, n)

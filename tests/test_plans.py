@@ -84,28 +84,56 @@ def test_lww_reduce_has_semi_join_and_no_window_sort(spark):
 
 
 def test_dedup_edge_union_keeps_broadcast_joins(spark):
-    """The edge-doc union must carry honest size stats: a LogicalRDD
-    branch (createDataFrame) defaults to Long.Max sizeInBytes and flips
-    every downstream dedup join from broadcast to sort-merge (measured
-    3x slower). Guard the VALUES-LocalRelation fix."""
+    """Dense-vocab regime (this corpus): the pair join tree is replaced
+    outright by the MapInArrow GEMM kernel — no join of any kind may
+    appear. On the legacy join path (dense disabled) the original guard
+    still holds: the edge-doc union must carry honest size stats — a
+    LogicalRDD branch (createDataFrame) defaults to Long.Max
+    sizeInBytes and flips every downstream dedup join from broadcast to
+    sort-merge (measured 3x slower); guard the VALUES-LocalRelation
+    fix."""
+    import os
+
     import __spark_entry__ as e
 
     df = e.q_ngram_jaccard(spark, SF)
     df.count()  # AQE: final plan only exists after execution
     plan = _plan(df)
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan and "Join" not in plan
+    os.environ["SPARK_JACCARD_DENSE"] = "0"
+    try:
+        df = e.q_ngram_jaccard(spark, SF)
+        df.count()
+        plan = _plan(df)
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+    finally:
+        os.environ.pop("SPARK_JACCARD_DENSE", None)
 
 
 def test_contamination_broadcasts_eval_side(spark):
-    """The big (train) side must never shuffle: eval shingles broadcast."""
+    """The big (train) side must never shuffle: dense regime probes the
+    broadcast eval indicator matrix inside MapInArrow (no join node);
+    legacy path broadcast-joins the exploded eval shingles."""
+    import os
+
     import __spark_entry__ as e
 
     df = e.q_contamination(spark, SF)
     df.count()
     plan = _plan(df)
-    assert "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    os.environ["SPARK_JACCARD_DENSE"] = "0"
+    try:
+        df = e.q_contamination(spark, SF)
+        df.count()
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    finally:
+        os.environ.pop("SPARK_JACCARD_DENSE", None)
 
 
 def test_split_and_sample_are_shuffle_free(spark):
