@@ -536,9 +536,18 @@ def _dense_minhash_signatures(
         return None
     spark = docs.sparkSession
     p = 2 * spark.sparkContext.defaultParallelism
+    # ONE shingle projection for the whole pipeline: per-doc distinct
+    # gram STRINGS, spread and materialized once; the vocab probe
+    # (explode+distinct), the hashed sets (transform+xxhash64 — the
+    # identical expressions _shingle_sets uses) and the verify joins all
+    # derive from it instead of re-scanning and re-splitting the raw
+    # docs per consumer
+    grams_df = docs.repartition(p, F.col(id_col)).select(
+        F.col(id_col),
+        F.array_distinct(_gram_array(text_col, n)).alias("__grams"),
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     rows = (
-        shingles(docs.repartition(p), text_col, id_col, n)
-        .select("shingle").distinct()
+        grams_df.select(F.explode("__grams").alias("shingle")).distinct()
         .select(
             F.xxhash64("shingle").alias("h"),
             *[
@@ -595,9 +604,13 @@ def _dense_minhash_signatures(
                 schema=schema,
             )
 
-    sets = _shingle_sets(docs.repartition(p, F.col(id_col)),
-                         text_col, id_col, n).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    # hashed sets derived from the materialized gram strings — identical
+    # values to _shingle_sets (same transform/xxhash64 expressions),
+    # no second pass over the raw docs
+    sets = grams_df.select(
+        F.col(id_col),
+        F.transform(F.col("__grams"), lambda s: F.xxhash64(s)).alias("sh_set"),
+    ).withColumn("n_sh", F.size("sh_set"))
     sig = sets.select(
         F.col(id_col).alias("__id"), "sh_set"
     ).mapInArrow(gen, "__id long, sig array<bigint>").select(
