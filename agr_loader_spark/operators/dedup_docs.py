@@ -233,6 +233,10 @@ def _dense_set_index(sets: DataFrame, id_col: str, pregated: bool = False):
     tbl = sets.select(F.col(id_col).alias("__id"), "sh_set").toArrow()
     if tbl.num_rows * len(vocab) > _DENSE_CELL_CAP or tbl.num_rows < 2:
         return None, sets
+    if tbl.column("__id").null_count:
+        # the join path silently drops null-id docs from pairs (equi-join
+        # + id-order filter); the numpy kernel would not — fall back
+        return None, sets
     ids = tbl.column("__id").to_numpy()
     lists = tbl.column("sh_set").combine_chunks()
     flat = np.searchsorted(vocab, lists.values.to_numpy()).astype(np.int32)
