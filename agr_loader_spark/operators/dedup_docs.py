@@ -168,7 +168,13 @@ _DENSE_VOCAB_CAP = int(os.environ.get("SPARK_JACCARD_DENSE_VOCAB_CAP", "4096"))
 # max total collected shingle refs (rows*8 bytes bounds the driver pull)
 _DENSE_COLLECT_CAP = int(os.environ.get("SPARK_JACCARD_DENSE_COLLECT_CAP",
                                         str(32_000_000)))
-# max n_docs * vocab cells for the per-task float32 indicator matrix
+# max bytes of the BIT-packed corpus index each executor holds for the
+# self-pair kernel (n_docs * ceil(vocab/8)); the float32 expansion is
+# per-column-chunk, never whole
+_DENSE_INDEX_BYTES = int(os.environ.get("SPARK_JACCARD_DENSE_INDEX_MB",
+                                        "256")) * 1_000_000
+# max vocab * n_eval cells for contamination's per-task float32 eval
+# matrix (the eval side is broadcast expanded)
 _DENSE_CELL_CAP = int(os.environ.get("SPARK_JACCARD_DENSE_CELL_CAP",
                                      str(256_000_000)))
 
@@ -231,7 +237,8 @@ def _dense_set_index(sets: DataFrame, id_col: str, pregated: bool = False):
         return None, sets
     vocab = np.sort(np.array([r["h"] for r in vocab_rows], dtype=np.int64))
     tbl = sets.select(F.col(id_col).alias("__id"), "sh_set").toArrow()
-    if tbl.num_rows * len(vocab) > _DENSE_CELL_CAP or tbl.num_rows < 2:
+    if tbl.num_rows * ((len(vocab) + 7) // 8) > _DENSE_INDEX_BYTES \
+            or tbl.num_rows < 2:
         return None, sets
     if tbl.column("__id").null_count:
         # the join path silently drops null-id docs from pairs (equi-join
@@ -283,19 +290,24 @@ def _dense_self_pairs(sets: DataFrame, index, threshold: float,
     each partition's doc block against the broadcast corpus index."""
     vocab, ids, ns, indptr, flat = index
     spark = sets.sparkSession
-    bc = spark.sparkContext.broadcast((vocab, ids, ns, indptr, flat))
+    # BIT-packed corpus matrix, built once at the driver: n x ceil(V/8)
+    # bytes (capped by _DENSE_INDEX_BYTES) — 32x smaller than float32,
+    # which is what lets the kernel hold a 10x-scale corpus per worker;
+    # each column chunk is unpacked to float32 on demand (~15 MB)
+    vb = (len(vocab) + 7) // 8
+    bp = np.zeros((len(ids), vb), dtype=np.uint8)
+    rows_ix = np.repeat(np.arange(len(ids)), np.diff(indptr))
+    np.bitwise_or.at(
+        bp, (rows_ix, flat >> 3), (1 << (flat & 7)).astype(np.uint8)
+    )
+    bc = spark.sparkContext.broadcast((vocab, ids, ns, bp))
     thr = float(threshold)
 
     def gen(batches):
         import pyarrow as pa
 
-        vocab, ids, ns, indptr, flat = bc.value
+        vocab, ids, ns, bp = bc.value
         n, v = len(ids), len(vocab)
-        # corpus-side matrix built once per task (worker-reused tasks
-        # rebuild; ~n*V*4 bytes, capped by _DENSE_CELL_CAP)
-        bt = np.zeros((v, n), dtype=np.float32)
-        cols = np.repeat(np.arange(n), np.diff(indptr))
-        bt[flat, cols] = 1.0
         nb = ns.astype(np.float64)
         schema = pa.schema([
             ("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -318,6 +330,8 @@ def _dense_self_pairs(sets: DataFrame, index, threshold: float,
         for batch in batches:
             tb = pa.Table.from_batches([batch])
             bids = tb.column(0).to_numpy()
+            if not len(bids):
+                continue
             a = _indicator_block(vocab, tb.column(1))
             na = a.sum(axis=1, dtype=np.float64)
             cna = (na * c).astype(np.float32)
@@ -326,14 +340,19 @@ def _dense_self_pairs(sets: DataFrame, index, threshold: float,
             # batch's minimum can never satisfy doc_a < doc_b here —
             # skip it outright (halves the GEMM work on average; each
             # unordered pair is computed in exactly one task either way)
-            col0 = int(np.searchsorted(ids, bids.min(), side="right"))                 if len(bids) else n
-            for lo in range(0, a.shape[0], 2048):
-                hi = min(lo + 2048, a.shape[0])
-                ab = a[lo:hi]
-                ida = bids[lo:hi]
-                for clo in range(col0 - col0 % col_chunk, n, col_chunk):
-                    chi = min(clo + col_chunk, n)
-                    nc = ab @ bt[:, clo:chi]
+            col0 = int(np.searchsorted(ids, bids.min(), side="right"))
+            # column chunk OUTER so its float expansion is reused
+            # across the row blocks
+            for clo in range(col0 - col0 % col_chunk, n, col_chunk):
+                chi = min(clo + col_chunk, n)
+                btc = np.unpackbits(
+                    bp[clo:chi], axis=1, count=v, bitorder="little"
+                ).T.astype(np.float32)
+                for lo in range(0, a.shape[0], 2048):
+                    hi = min(lo + 2048, a.shape[0])
+                    ab = a[lo:hi]
+                    ida = bids[lo:hi]
+                    nc = ab @ btc
                     rhs = cna[lo:hi, None] + cnb[None, clo:chi]
                     np.maximum(rhs, np.float32(1.0), out=rhs)
                     ra, cb = np.nonzero(nc >= rhs)
@@ -392,6 +411,12 @@ def _dense_contamination(train_sets: DataFrame, eval_index, min_common: int,
             ("train_id", pa.int64()), ("eval_id", pa.int64()),
             ("n_common", pa.int64()), ("n_eval_sh", pa.int64()),
         ])
+        # cap emitted RecordBatch rows: a dense train-block x eval
+        # extraction can hold millions of surviving pairs, and an
+        # unbounded Arrow IPC batch blows the JVM reader's direct
+        # memory (measured: 209 MB batches OOMing 32 concurrent tasks
+        # at a 500k-doc corpus). 512k rows ~= 16 MB per batch.
+        emit_cap = 1 << 19
         for batch in batches:
             tb = pa.Table.from_batches([batch])
             tids = tb.column(0).to_numpy()
@@ -402,15 +427,18 @@ def _dense_contamination(train_sets: DataFrame, eval_index, min_common: int,
                 ra, cb = np.nonzero(nc >= mc)
                 if len(ra) == 0:
                     continue
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(tids[lo + ra], pa.int64()),
-                        pa.array(ev_ids[cb], pa.int64()),
-                        pa.array(nc[ra, cb].astype(np.int64)),
-                        pa.array(ev_ns[cb].astype(np.int64)),
-                    ],
-                    schema=schema,
-                )
+                for e0 in range(0, len(ra), emit_cap):
+                    e1 = min(e0 + emit_cap, len(ra))
+                    er, ec = ra[e0:e1], cb[e0:e1]
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(tids[lo + er], pa.int64()),
+                            pa.array(ev_ids[ec], pa.int64()),
+                            pa.array(nc[er, ec].astype(np.int64)),
+                            pa.array(ev_ns[ec].astype(np.int64)),
+                        ],
+                        schema=schema,
+                    )
 
     out = train_sets.select(F.col(id_col), "sh_set").mapInArrow(
         gen, "train_id long, eval_id long, n_common long, n_eval_sh long"
@@ -459,9 +487,15 @@ def ngram_jaccard_pairs(
     sets = _shingle_sets(docs.repartition(p, F.col(id_col)),
                          text_col, id_col, n)
     if max_df is None:
-        index = None
+        # two-stage gate: the cheap char-count bound skips the exact
+        # probe when it can prove the collect is small; when it CANNOT
+        # (long docs near the cap — the bound over-counts distinct
+        # shingles ~3x), fall back to the exact sum(n_sh) probe instead
+        # of rejecting the dense path outright
         if _cheap_dense_pregate(docs, text_col):
             index, sets = _dense_set_index(sets, id_col, pregated=True)
+        else:
+            index, sets = _dense_set_index(sets, id_col)
         if index is not None:
             pairs = _dense_self_pairs(sets, index, threshold, id_col)
             return (
@@ -875,11 +909,15 @@ def contamination_pairs(
     """
     if broadcast_eval and os.environ.get("SPARK_JACCARD_DENSE", "1") != "0":
         p = 2 * train.sparkSession.sparkContext.defaultParallelism
-        index = None
-        if _cheap_dense_pregate(eval_docs, text_col):
-            ev_sets = _shingle_sets(eval_docs.repartition(p),
-                                    text_col, id_col, n)
-            index, ev_sets = _dense_set_index(ev_sets, id_col, pregated=True)
+        ev_sets = _shingle_sets(eval_docs.repartition(p),
+                                text_col, id_col, n)
+        index, ev_sets = _dense_set_index(
+            ev_sets, id_col, pregated=_cheap_dense_pregate(eval_docs, text_col)
+        )
+        if index is not None and len(index[0]) * len(index[1]) > _DENSE_CELL_CAP:
+            # the eval side is expanded to a float32 (V, n_eval) matrix
+            # per task; too big -> join path
+            index = None
         if index is not None:
             # spread the train-side shingle projection (bench inputs are
             # 1-2 scan partitions; at scale the scan parallelism covers
